@@ -1,0 +1,143 @@
+"""Multi-view 3D mask aggregation: vote merge + overlap resolution.
+
+Reimplements the reference's ``aggregate``/``merge_masks``/``solve_overlapping``
+semantics (reference: tools/projection_2d_to_3d.py:100-301) with the heavy math
+on device: the (I, I) IoU matrix and connected components run as MXU matmuls
+(:mod:`beyondff_tpu.core.masks`); only the tiny group bookkeeping and the
+order-dependent overlap resolution stay on host.
+
+Parity-relevant semantics preserved:
+  * merge graph = (IoU > iou_thres) AND exact-label-equality
+    (projection_2d_to_3d.py:120-122);
+  * components with fewer than ``min_aggregated_masks`` members are dropped
+    entirely (projection_2d_to_3d.py:203);
+  * merged confidence = mean of members, label = first member's label
+    (projection_2d_to_3d.py:214-226);
+  * components emitted in order of their smallest member index
+    (projection_2d_to_3d.py:265-272);
+  * overlap resolution walks pairs (i, j), i<j, in order and mutates masks
+    as it goes — the mask aggregated from more views keeps disputed points
+    (projection_2d_to_3d.py:277-301).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from beyondff_tpu.core import masks as mask_ops
+
+
+@dataclass
+class AggregatedMasks:
+    ins: np.ndarray  # (C, N) bool
+    conf: np.ndarray  # (C,) float32
+    labels: List[str]
+    groups: List[List[int]]  # member indices of each kept component
+
+    @property
+    def empty(self) -> bool:
+        return self.ins.shape[0] == 0
+
+
+def aggregate(
+    membership: np.ndarray,  # (I, N) bool lifted per-(frame,mask) point masks
+    confidences: np.ndarray,  # (I,) float
+    labels: Sequence[str],
+    iou_thres: float = 0.2,
+    min_aggregated_masks: int = 2,
+    use_device: bool = True,
+) -> AggregatedMasks:
+    """Merge per-view masks that agree (IoU + label) into 3D instances."""
+    n_ins = membership.shape[0]
+    if n_ins == 0:
+        return AggregatedMasks(
+            ins=np.zeros((0, membership.shape[1] if membership.ndim == 2 else 0), bool),
+            conf=np.zeros((0,), np.float32),
+            labels=[],
+            groups=[],
+        )
+
+    label_ids = _label_ids(labels)
+    if use_device:
+        iou = np.asarray(mask_ops.pairwise_iou(jnp.asarray(membership)))
+    else:
+        iou = mask_ops.pairwise_iou_np(membership)
+    same_label = label_ids[:, None] == label_ids[None, :]
+    with np.errstate(invalid="ignore"):
+        adj = same_label & (iou > iou_thres)
+
+    if use_device:
+        comp = np.asarray(mask_ops.connected_components(jnp.asarray(adj)))
+    else:
+        comp = mask_ops.connected_components_np(adj)
+
+    # components in order of smallest member index, filtered by size
+    groups: List[List[int]] = []
+    for rep in np.unique(comp):  # unique() is sorted -> first-member order
+        members = np.flatnonzero(comp == rep)
+        if members.size >= min_aggregated_masks:
+            groups.append(members.tolist())
+
+    if not groups:
+        return AggregatedMasks(
+            ins=np.zeros((0, membership.shape[1]), bool),
+            conf=np.zeros((0,), np.float32),
+            labels=[],
+            groups=[],
+        )
+
+    onehot = np.zeros((len(groups), n_ins), bool)
+    for c, members in enumerate(groups):
+        onehot[c, members] = True
+    if use_device:
+        merged, mean_conf = mask_ops.group_or_and_mean(
+            jnp.asarray(membership), jnp.asarray(np.asarray(confidences, np.float32)), jnp.asarray(onehot)
+        )
+        merged, mean_conf = np.asarray(merged), np.asarray(mean_conf)
+    else:
+        merged = (onehot.astype(np.float64) @ membership.astype(np.float64)) > 0
+        mean_conf = (onehot @ np.asarray(confidences, np.float64)) / onehot.sum(1)
+
+    out_labels = [labels[g[0]] for g in groups]
+    return AggregatedMasks(
+        ins=merged.astype(bool),
+        conf=mean_conf.astype(np.float32),
+        labels=out_labels,
+        groups=groups,
+    )
+
+
+def solve_overlapping(agg: AggregatedMasks) -> AggregatedMasks:
+    """Give disputed points to the mask aggregated from more views.
+
+    Order-dependent sequential resolution; the overlap pair list is computed
+    on the original masks, then applied with mutation in (i, j) order — exactly
+    the reference's behaviour (projection_2d_to_3d.py:277-301).
+    """
+    ins = agg.ins.copy()
+    num = [len(g) for g in agg.groups]
+    c = ins.shape[0]
+    pairs = [
+        (i, j)
+        for i in range(c)
+        for j in range(i + 1, c)
+        if np.any(agg.ins[i] & agg.ins[j])
+    ]
+    for i, j in pairs:
+        if num[i] > num[j]:
+            ins[j] &= ~ins[i]
+        else:
+            ins[i] &= ~ins[j]
+    return AggregatedMasks(ins=ins, conf=agg.conf, labels=agg.labels, groups=agg.groups)
+
+
+def _label_ids(labels: Sequence[str]) -> np.ndarray:
+    table = {}
+    ids = np.empty(len(labels), dtype=np.int32)
+    for i, lab in enumerate(labels):
+        ids[i] = table.setdefault(lab, len(table))
+    return ids

@@ -1,0 +1,97 @@
+"""Geometry core vs float64 numpy oracle on synthetic scenes."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from beyondff_tpu.core import geometry
+
+
+def make_scene(rng, n_pts=500, h=48, w=64):
+    """Synthetic camera + points, most visible in-frustum."""
+    fx = fy = 40.0
+    intr = np.array([[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1.0]])
+    pose = np.eye(4)
+    # small rotation + translation
+    th = 0.1
+    pose[:3, :3] = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    )
+    pose[:3, 3] = [0.2, -0.1, -2.0]
+    pts = rng.uniform([-1, -1, 1.0], [1, 1, 4.0], size=(n_pts, 3))
+    pcd_h = geometry.homogenize(pts)
+    # depth image consistent with some of the points
+    depth = rng.uniform(1.0, 4.0, size=(h, w)).astype(np.float32)
+    depth[rng.random((h, w)) < 0.1] = 0.0  # invalid pixels
+    return intr, pose, pcd_h, depth
+
+
+def test_fused_projection_equivalence(rng):
+    intr, pose, pcd_h, _ = make_scene(rng)
+    proj = geometry.fuse_projection(intr, pose)
+    cam = proj @ pcd_h.astype(np.float64)
+    # row 2 of the fused matrix recovers camera-space z
+    pts_cam = (np.linalg.inv(pose) @ pcd_h.astype(np.float64)).T[:, :3]
+    np.testing.assert_allclose(cam[2], pts_cam[:, 2], rtol=1e-12)
+    uv = cam[:2] / cam[2]
+    uv_ref = (intr @ pts_cam.T / pts_cam[:, 2])[:2]
+    np.testing.assert_allclose(uv, uv_ref, rtol=1e-9)
+
+
+def test_lift_matches_numpy_oracle(rng):
+    h, w, m = 48, 64, 3
+    intr, pose, pcd_h, depth = make_scene(rng, h=h, w=w)
+    masks = rng.random((m, h, w)) < 0.5
+
+    member_ref, vis_ref = geometry.lift_frame_np(pcd_h, intr, pose, depth, masks)
+
+    proj = geometry.fuse_projection(intr, pose).astype(np.float32)
+    membership, masked_counts, viewed_counts = geometry.lift_frames(
+        jnp.asarray(pcd_h),
+        jnp.asarray(proj[None]),
+        jnp.asarray(depth[None]),
+        jnp.asarray(masks.reshape(1, m, h * w)),
+        jnp.ones((1, m), bool),
+    )
+    member = np.asarray(membership[0])
+    vis = viewed_counts  # single frame: counts == visibility
+
+    # float32 vs float64 rounding can flip points sitting exactly on pixel /
+    # depth-threshold boundaries; on this synthetic scene it should be rare
+    mismatch = np.mean(member != member_ref)
+    assert mismatch < 0.002, f"membership mismatch rate {mismatch}"
+    assert np.mean(np.asarray(vis).astype(bool) != vis_ref) < 0.002
+    np.testing.assert_array_equal(
+        np.asarray(masked_counts), member.sum(axis=0).astype(np.int32)
+    )
+
+
+def test_points_behind_camera_invisible(rng):
+    h, w = 32, 32
+    intr = np.array([[20.0, 0, 16], [0, 20.0, 16], [0, 0, 1]])
+    pose = np.eye(4)
+    pts = np.array([[0, 0, -2.0], [0, 0, 2.0], [0, 0, 0.0]])  # behind, front, at origin
+    pcd_h = geometry.homogenize(pts)
+    depth = np.full((h, w), 2.0, np.float32)
+    proj = geometry.fuse_projection(intr, pose).astype(np.float32)
+    pid, vis = geometry.project_and_test(
+        jnp.asarray(pcd_h), jnp.asarray(proj), jnp.asarray(depth), 0.08
+    )
+    vis = np.asarray(vis)
+    assert not vis[0]  # behind camera: |z - d| fails
+    assert vis[1]  # in front at matching depth
+    assert not vis[2]  # z == 0 guarded
+
+
+def test_mask_padding_flags(rng):
+    h, w, m = 24, 24, 4
+    intr, pose, pcd_h, depth = make_scene(rng, n_pts=100, h=h, w=w)
+    masks = np.ones((1, m, h * w), bool)
+    valid = np.array([[True, True, False, False]])
+    proj = geometry.fuse_projection(intr, pose).astype(np.float32)[None]
+    membership, counts, _ = geometry.lift_frames(
+        jnp.asarray(pcd_h), jnp.asarray(proj), jnp.asarray(depth[None]),
+        jnp.asarray(masks), jnp.asarray(valid),
+    )
+    member = np.asarray(membership[0])
+    assert member[2].sum() == 0 and member[3].sum() == 0
+    np.testing.assert_array_equal(np.asarray(counts), member.sum(0).astype(np.int32))
