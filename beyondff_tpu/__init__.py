@@ -22,3 +22,31 @@ reference so outputs interoperate both ways.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("BFF_PLATFORM"):
+    # hosting environments may force a platform via jax.config at interpreter
+    # start (overriding JAX_PLATFORMS); this knob wins over both
+    import jax as _jax0
+
+    _jax0.config.update("jax_platforms", _os.environ["BFF_PLATFORM"])
+
+if not _os.environ.get("BFF_NO_COMPILE_CACHE"):
+    # persistent XLA compilation cache: repeated CLI invocations skip
+    # recompiles (first compile of the lift/encoder programs dominates
+    # startup otherwise). Opt out with BFF_NO_COMPILE_CACHE=1.
+    import jax as _jax
+
+    # namespaced per platform: AOT artifacts are machine-specific and the
+    # forced-platform knob can flip backends between runs
+    _plat = _os.environ.get("BFF_PLATFORM") or _os.environ.get("JAX_PLATFORMS") or "default"
+    _cache = _os.environ.get(
+        "BFF_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "beyondff_tpu", f"xla-{_plat}"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - older jax without these flags
+        pass

@@ -49,9 +49,12 @@ def aggregate(
     labels: Sequence[str],
     iou_thres: float = 0.2,
     min_aggregated_masks: int = 2,
-    use_device: bool = True,
+    use_device=None,
 ) -> AggregatedMasks:
-    """Merge per-view masks that agree (IoU + label) into 3D instances."""
+    """Merge per-view masks that agree (IoU + label) into 3D instances.
+
+    ``use_device``: None -> automatic numpy/MXU dispatch by problem size.
+    """
     n_ins = membership.shape[0]
     if n_ins == 0:
         return AggregatedMasks(
@@ -62,15 +65,13 @@ def aggregate(
         )
 
     label_ids = _label_ids(labels)
-    if use_device:
-        iou = np.asarray(mask_ops.pairwise_iou(jnp.asarray(membership)))
-    else:
-        iou = mask_ops.pairwise_iou_np(membership)
+    iou = mask_ops.mask_iou(membership, use_device=use_device)
     same_label = label_ids[:, None] == label_ids[None, :]
     with np.errstate(invalid="ignore"):
         adj = same_label & (iou > iou_thres)
 
-    if use_device:
+    on_device = n_ins > 256 if use_device is None else use_device
+    if on_device:
         comp = np.asarray(mask_ops.connected_components(jnp.asarray(adj)))
     else:
         comp = mask_ops.connected_components_np(adj)
@@ -93,14 +94,14 @@ def aggregate(
     onehot = np.zeros((len(groups), n_ins), bool)
     for c, members in enumerate(groups):
         onehot[c, members] = True
-    if use_device:
+    if on_device:
         merged, mean_conf = mask_ops.group_or_and_mean(
             jnp.asarray(membership), jnp.asarray(np.asarray(confidences, np.float32)), jnp.asarray(onehot)
         )
         merged, mean_conf = np.asarray(merged), np.asarray(mean_conf)
     else:
-        merged = (onehot.astype(np.float64) @ membership.astype(np.float64)) > 0
-        mean_conf = (onehot @ np.asarray(confidences, np.float64)) / onehot.sum(1)
+        merged = (onehot.astype(np.float32) @ membership.astype(np.float32)) > 0
+        mean_conf = ((onehot @ np.asarray(confidences, np.float32)) / onehot.sum(1)).astype(np.float32)
 
     out_labels = [labels[g[0]] for g in groups]
     return AggregatedMasks(

@@ -67,7 +67,9 @@ def project_and_test(
     visible:  (N,) bool visibility mask.
     """
     h, w = depth.shape
-    cam = proj @ pcd_h  # (3, N): [u*z, v*z, z]
+    # full-f32 matmul: pixel rounding parity depends on it (bf16 passes shift
+    # projected coords by ~1e-2 px and flip round() results)
+    cam = jnp.dot(proj, pcd_h, precision=jax.lax.Precision.HIGHEST)  # (3, N): [u*z, v*z, z]
     z = cam[2]
     inv_z = jnp.where(z != 0, 1.0 / z, 0.0)
     u_f = cam[0] * inv_z

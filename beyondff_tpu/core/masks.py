@@ -50,6 +50,41 @@ def pairwise_iou(
     return inter / union
 
 
+# device dispatch below this many multiply-accumulates; under it, one-core
+# numpy beats a jit round-trip (and avoids per-shape recompiles)
+_DEVICE_MAC_THRESHOLD = 2e8
+_ROW_BUCKET = 128  # row counts padded to multiples -> bounded compile cache
+
+
+def mask_iou(a: np.ndarray, b: Optional[np.ndarray] = None, use_device: Optional[bool] = None) -> np.ndarray:
+    """(Ia, Ib) float32 IoU with automatic numpy/device dispatch.
+
+    Device shapes are padded to row buckets so arbitrary instance counts reuse
+    a small set of compiled programs; padded rows produce nan (0/0) and are
+    sliced off.
+    """
+    a = np.asarray(a).astype(bool)
+    b_arr = a if b is None else np.asarray(b).astype(bool)
+    ia, ib, n = a.shape[0], b_arr.shape[0], a.shape[1] if a.ndim == 2 else 0
+    if ia == 0 or ib == 0:
+        return np.zeros((ia, ib), np.float32)
+    if use_device is None:
+        use_device = ia * ib * n > _DEVICE_MAC_THRESHOLD
+    if not use_device:
+        af = a.astype(np.float32)
+        bf = af if b is None else b_arr.astype(np.float32)
+        inter = af @ bf.T
+        union = af.sum(1)[:, None] + bf.sum(1)[None, :] - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return inter / union
+    pa = -ia % _ROW_BUCKET
+    pb = -ib % _ROW_BUCKET
+    a_p = np.pad(a, ((0, pa), (0, 0)))
+    b_p = a_p if b is None else np.pad(b_arr, ((0, pb), (0, 0)))
+    out = np.asarray(pairwise_iou(jnp.asarray(a_p), None if b is None else jnp.asarray(b_p)))
+    return out[:ia, :ib]
+
+
 def pairwise_iou_np(a: np.ndarray, b: Optional[np.ndarray] = None) -> np.ndarray:
     """NumPy oracle with identical semantics (float64 accumulate)."""
     a = np.asarray(a, dtype=np.float64)

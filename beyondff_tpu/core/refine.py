@@ -34,14 +34,10 @@ import numpy as np
 from beyondff_tpu.core import masks as mask_ops
 
 
-def cross_stage_iou(stage1: np.ndarray, stage2: np.ndarray, use_device: bool = True) -> np.ndarray:
+def cross_stage_iou(stage1: np.ndarray, stage2: np.ndarray, use_device=None) -> np.ndarray:
     """(m, n) float32 IoU: rows = stage-2 masks, cols = stage-1 masks
     (the reference's transposed convention, refinement.py:69-90)."""
-    if stage1.shape[0] == 0 or stage2.shape[0] == 0:
-        return np.zeros((stage2.shape[0], stage1.shape[0]), np.float32)
-    if use_device:
-        return np.asarray(mask_ops.pairwise_iou(jnp.asarray(stage2.astype(bool)), jnp.asarray(stage1.astype(bool))))
-    return mask_ops.pairwise_iou_np(stage2, stage1).astype(np.float32)
+    return mask_ops.mask_iou(stage2, stage1, use_device=use_device)
 
 
 @dataclass
@@ -64,7 +60,7 @@ def match_scene(
     stage2_conf: np.ndarray,  # (m,)
     query_label: str,  # underscore-form query
     stage1_iou_thres: float = 0.1,
-    use_device: bool = True,
+    use_device=None,
 ) -> SceneMatch:
     """Pass-1 matching/merging for one scene."""
     n_points = stage1_masks.shape[1] if stage1_masks.ndim == 2 else 0

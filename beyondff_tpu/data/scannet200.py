@@ -45,6 +45,12 @@ def instance_index(label: str) -> int:
     return INSTANCE_CAT_SCANNET_200.index(label.lower())
 
 
+def raw_semantic_id(label: str) -> int:
+    """Class name -> raw ScanNet semantic id as stored in GT files
+    (inverse of the remap in evaluation/eval/eval_scannet200.py:92)."""
+    return BENCHMARK_SEMANTIC_IDXS[CLASS_LABELS_200.index(label)]
+
+
 def val_scenes() -> tuple:
     return load_split("scannetv2_val")
 

@@ -1,0 +1,134 @@
+"""Multi-scale deformable attention as pure XLA (bilinear gathers).
+
+The reference depends on Grounding-DINO's hand-written CUDA
+``MultiScaleDeformableAttention`` op (SURVEY.md §2.3). On TPU the same math —
+per query, per head: sample K points from each feature level at predicted
+fractional locations and blend with predicted weights — lowers cleanly to
+four gathers + a weighted sum per level, which XLA fuses; no custom kernel is
+required for correctness. (A Pallas variant can slot in behind the same
+function signature for further fusion.)
+
+Shapes follow the Deformable-DETR convention:
+  value:            (B, sum_l H_l*W_l, heads, head_dim)
+  sampling_locs:    (B, Q, heads, levels, points, 2)  in [0, 1] per level
+  attention_weights:(B, Q, heads, levels, points)     softmaxed over l*p
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locs: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Core sampling. Returns (B, Q, heads*head_dim)."""
+    b, _, heads, head_dim = value.shape
+    q = sampling_locs.shape[1]
+    n_levels = len(spatial_shapes)
+
+    # split the flattened value into per-level maps
+    sizes = [h * w for h, w in spatial_shapes]
+    offsets = [0]
+    for s in sizes[:-1]:
+        offsets.append(offsets[-1] + s)
+
+    out = jnp.zeros((b, q, heads, head_dim), value.dtype)
+    for li, (h, w) in enumerate(spatial_shapes):
+        v = jax.lax.dynamic_slice_in_dim(value, offsets[li], sizes[li], axis=1)
+        v = v.reshape(b, h, w, heads, head_dim)
+        # locations for this level: (B, Q, heads, points, 2) in [0,1]
+        loc = sampling_locs[:, :, :, li]
+        # align_corners=False convention: x*W - 0.5
+        gx = loc[..., 0] * w - 0.5
+        gy = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(gx)
+        y0 = jnp.floor(gy)
+        fx = gx - x0
+        fy = gy - y0
+
+        flat = v.reshape(b, h * w, heads, head_dim)
+
+        def gather(yi, xi):
+            # zero padding outside the map
+            inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            g = _gather_bhqp(flat, yc * w + xc)  # (B, Q, heads, P, hd)
+            return jnp.where(inside[..., None], g, 0.0)
+
+        g00 = gather(y0, x0)
+        g01 = gather(y0, x0 + 1)
+        g10 = gather(y0 + 1, x0)
+        g11 = gather(y0 + 1, x0 + 1)
+        fx = fx[..., None]
+        fy = fy[..., None]
+        sampled = (
+            g00 * (1 - fx) * (1 - fy)
+            + g01 * fx * (1 - fy)
+            + g10 * (1 - fx) * fy
+            + g11 * fx * fy
+        )  # (B, Q, heads, P, hd)
+        wgt = attention_weights[:, :, :, li][..., None]
+        out = out + jnp.sum(sampled * wgt, axis=3)
+
+    return out.reshape(b, q, heads * head_dim)
+
+
+def _gather_bhqp(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """flat: (B, HW, heads, hd); idx: (B, Q, heads, P) -> (B, Q, heads, P, hd)."""
+    b, hw, heads, hd = flat.shape
+    _, q, _, p = idx.shape
+    fv = flat.transpose(0, 2, 1, 3)  # (B, heads, HW, hd)
+    ii = idx.transpose(0, 2, 1, 3).reshape(b, heads, q * p)  # (B, heads, Q*P)
+    g = jnp.take_along_axis(fv, ii[..., None], axis=2)  # (B, heads, Q*P, hd)
+    return g.reshape(b, heads, q, p, hd).transpose(0, 2, 1, 3, 4)
+
+
+class MSDeformAttn(nn.Module):
+    """Deformable attention layer: projections + predicted offsets/weights."""
+
+    dim: int = 256
+    heads: int = 8
+    levels: int = 4
+    points: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, reference_points, value, spatial_shapes, value_mask=None):
+        """query: (B, Q, dim); reference_points: (B, Q, levels, 2 or 4) in [0,1];
+        value: (B, sum HW, dim)."""
+        b, q, _ = query.shape
+        head_dim = self.dim // self.heads
+        v = nn.Dense(self.dim, dtype=self.dtype, name="value_proj")(value)
+        if value_mask is not None:
+            v = jnp.where(value_mask[..., None], v, 0.0)
+        v = v.reshape(b, -1, self.heads, head_dim)
+
+        offsets = nn.Dense(self.heads * self.levels * self.points * 2, dtype=self.dtype,
+                           name="sampling_offsets")(query)
+        offsets = offsets.reshape(b, q, self.heads, self.levels, self.points, 2)
+        weights = nn.Dense(self.heads * self.levels * self.points, dtype=self.dtype,
+                           name="attention_weights")(query)
+        weights = jax.nn.softmax(
+            weights.reshape(b, q, self.heads, self.levels * self.points).astype(jnp.float32), -1
+        ).astype(self.dtype).reshape(b, q, self.heads, self.levels, self.points)
+
+        shapes_arr = jnp.asarray(spatial_shapes, jnp.float32)  # (levels, 2) as (h, w)
+        wh = shapes_arr[:, ::-1][None, None, None, :, None, :]  # (1,1,1,levels,1,2) as (w, h)
+        if reference_points.shape[-1] == 2:
+            ref = reference_points[:, :, None, :, None, :]  # (B,Q,1,levels,1,2)
+            locs = ref + offsets / wh
+        else:  # 4d refs (cx, cy, w, h): offsets scaled by box size
+            ref_c = reference_points[..., :2][:, :, None, :, None, :]
+            ref_wh = reference_points[..., 2:][:, :, None, :, None, :]
+            locs = ref_c + offsets / self.points * ref_wh * 0.5
+        out = ms_deform_attn(v, spatial_shapes, locs, weights)
+        return nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(out)

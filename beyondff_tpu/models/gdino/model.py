@@ -1,0 +1,454 @@
+"""Grounding-DINO: open-vocabulary detection from (image, caption).
+
+Faithful JAX rebuild of the architecture behind the public
+``groundingdino_swinb_cogcoor.pth`` checkpoint the reference loads from the
+HF hub (reference: tools/segmentation_2d.py:65-79): Swin backbone, BERT text
+branch with sub-sentence masking, a 6-layer feature enhancer interleaving
+image-text bi-attention / text self-attention / multi-scale deformable image
+attention, language-guided top-K query selection, and a 6-layer cross-modality
+decoder with iterative box refinement and a contrastive (token-grounded)
+classification head.
+
+The detection entry point mirrors ``groundingdino.util.inference.predict``
+(box_threshold on max token logit, text_threshold for phrase extraction,
+reference detect(): segmentation_2d.py:110-168).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beyondff_tpu.models.gdino import bert as bert_mod
+from beyondff_tpu.models.gdino import swin as swin_mod
+from beyondff_tpu.models.gdino.deformable import MSDeformAttn
+from beyondff_tpu.models.layers import Attention
+
+IMAGE_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGE_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclass(frozen=True)
+class GDINOConfig:
+    swin: swin_mod.SwinConfig = field(default_factory=lambda: swin_mod.PRESETS["swin_b"])
+    bert: bert_mod.BertConfig = field(default_factory=lambda: bert_mod.PRESETS["bert-base"])
+    hidden: int = 256
+    heads: int = 8
+    levels: int = 4
+    enc_points: int = 4
+    dec_points: int = 4
+    enc_layers: int = 6
+    dec_layers: int = 6
+    ffn_dim: int = 2048
+    num_queries: int = 900
+    max_text_len: int = 256
+    image_size: Tuple[int, int] = (800, 1200)
+
+
+PRESETS = {
+    "swinb": GDINOConfig(),
+    "swint": GDINOConfig(swin=swin_mod.PRESETS["swin_t"]),
+    "test": GDINOConfig(
+        swin=swin_mod.PRESETS["test"],
+        bert=bert_mod.PRESETS["test"],
+        hidden=32,
+        heads=2,
+        levels=3,
+        enc_layers=1,
+        dec_layers=1,
+        ffn_dim=64,
+        num_queries=20,
+        max_text_len=16,
+        image_size=(64, 96),
+    ),
+}
+
+
+def sine_position_embedding(coords: jnp.ndarray, dim: int, temperature: float = 10000.0):
+    """(..., 2 or 4) normalized coords -> (..., dim) sine PE (DETR convention)."""
+    n = coords.shape[-1]
+    d = dim // n
+    scale = 2 * math.pi
+    t = temperature ** (2 * (jnp.arange(d // 2, dtype=jnp.float32)) / d)
+    parts = []
+    for i in range(n):
+        x = coords[..., i] * scale
+        xt = x[..., None] / t
+        parts.append(jnp.stack([jnp.sin(xt), jnp.cos(xt)], axis=-1).reshape(*x.shape, d))
+    # DETR orders (y, x) interleaved per pair; keep (pos_y, pos_x) concat order
+    return jnp.concatenate(parts, axis=-1)
+
+
+class BiAttention(nn.Module):
+    """Bidirectional image<->text cross-attention with tanh-gated residuals
+    (GLIP/Grounding-DINO fusion block)."""
+
+    dim: int
+    text_dim: int
+    embed_dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, txt, txt_mask=None):
+        head_dim = self.embed_dim // self.heads
+        scale = head_dim ** -0.5
+
+        q = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(img) * scale
+        k = nn.Dense(self.embed_dim, dtype=self.dtype, name="l_proj")(txt)
+        vv = nn.Dense(self.embed_dim, dtype=self.dtype, name="values_v_proj")(img)
+        vl = nn.Dense(self.embed_dim, dtype=self.dtype, name="values_l_proj")(txt)
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], self.heads, head_dim)
+
+        logits = jnp.einsum("bihd,bthd->bhit", split(q), split(k))
+        # numeric clamping as in the original implementation
+        logits = jnp.clip(logits, -50000, 50000)
+        logits_t = logits.transpose(0, 1, 3, 2)  # (B, h, T, I)
+        if txt_mask is not None:
+            logits = jnp.where(txt_mask[:, None, None, :], logits, jnp.finfo(logits.dtype).min)
+        attn_i = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(self.dtype)
+        attn_t = jax.nn.softmax(logits_t.astype(jnp.float32), -1).astype(self.dtype)
+
+        img_out = jnp.einsum("bhit,bthd->bihd", attn_i, split(vl)).reshape(img.shape[:-1] + (self.embed_dim,))
+        txt_out = jnp.einsum("bhti,bihd->bthd", attn_t, split(vv)).reshape(txt.shape[:-1] + (self.embed_dim,))
+        img_out = nn.Dense(self.dim, dtype=self.dtype, name="out_v_proj")(img_out)
+        txt_out = nn.Dense(self.text_dim, dtype=self.dtype, name="out_l_proj")(txt_out)
+
+        gamma_v = self.param("gamma_v", nn.initializers.constant(1 / 8), (self.dim,))
+        gamma_l = self.param("gamma_l", nn.initializers.constant(1 / 8), (self.text_dim,))
+        img = img + gamma_v.astype(self.dtype) * nn.LayerNorm(dtype=self.dtype, name="ln_v")(img_out)
+        txt = txt + gamma_l.astype(self.dtype) * nn.LayerNorm(dtype=self.dtype, name="ln_l")(txt_out)
+        return img, txt
+
+
+class EnhancerLayer(nn.Module):
+    cfg: GDINOConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, pos, txt, ref_points, shapes, txt_mask):
+        """``pos`` joins queries/keys only (DETR convention), never the
+        residual stream."""
+        c = self.cfg
+        # 1. image <-> text fusion (on raw features)
+        img, txt = BiAttention(c.hidden, c.hidden, c.hidden, c.heads // 2,
+                               dtype=self.dtype, name="fusion")(img, txt, txt_mask)
+        # 2. text self-attention + FFN
+        t = Attention(c.heads, dtype=self.dtype, name="text_attn")(
+            txt, mask=txt_mask[:, None, None, :] if txt_mask is not None else None)
+        txt = nn.LayerNorm(dtype=self.dtype, name="text_ln1")(txt + t)
+        t = nn.Dense(1024, dtype=self.dtype, name="text_fc1")(txt)
+        t = nn.relu(t)
+        t = nn.Dense(c.hidden, dtype=self.dtype, name="text_fc2")(t)
+        txt = nn.LayerNorm(dtype=self.dtype, name="text_ln2")(txt + t)
+        # 3. deformable image self-attention + FFN (query = src + pos, value = src)
+        i = MSDeformAttn(c.hidden, c.heads, c.levels, c.enc_points,
+                         dtype=self.dtype, name="deform")(img + pos, ref_points, img, shapes)
+        img = nn.LayerNorm(dtype=self.dtype, name="img_ln1")(img + i)
+        i = nn.Dense(c.ffn_dim, dtype=self.dtype, name="img_fc1")(img)
+        i = nn.relu(i)
+        i = nn.Dense(c.hidden, dtype=self.dtype, name="img_fc2")(i)
+        img = nn.LayerNorm(dtype=self.dtype, name="img_ln2")(img + i)
+        return img, txt
+
+
+class DecoderLayer(nn.Module):
+    cfg: GDINOConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, memory, txt, ref_points, shapes, txt_mask):
+        c = self.cfg
+        # 1. self attention among queries (pos on q and k, not v)
+        q = tgt + query_pos
+        s = Attention(c.heads, dtype=self.dtype, name="self_attn")(q, kv=q, v=tgt)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="ln1")(tgt + s)
+        # 2. cross attention to text
+        t = Attention(c.heads, dtype=self.dtype, name="text_cross")(
+            tgt + query_pos, kv=txt,
+            mask=txt_mask[:, None, None, :] if txt_mask is not None else None)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="ln_text")(tgt + t)
+        # 3. deformable cross attention to image memory
+        d = MSDeformAttn(c.hidden, c.heads, c.levels, c.dec_points,
+                         dtype=self.dtype, name="deform")(tgt + query_pos, ref_points, memory, shapes)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="ln2")(tgt + d)
+        # 4. FFN
+        f = nn.Dense(c.ffn_dim, dtype=self.dtype, name="fc1")(tgt)
+        f = nn.relu(f)
+        f = nn.Dense(c.hidden, dtype=self.dtype, name="fc2")(f)
+        return nn.LayerNorm(dtype=self.dtype, name="ln3")(tgt + f)
+
+
+class BoxHead(nn.Module):
+    """3-layer MLP -> cxcywh logit deltas (shared across decoder layers)."""
+
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="fc0")(x))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x))
+        return nn.Dense(4, dtype=self.dtype, name="fc2")(x)
+
+
+def _inverse_sigmoid(x, eps=1e-3):
+    x = jnp.clip(x, eps, 1 - eps)
+    return jnp.log(x / (1 - x))
+
+
+class GDINOModule(nn.Module):
+    cfg: GDINOConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, input_ids, text_self_mask, text_pad_mask, position_ids):
+        """images: (B, H, W, 3) normalized; input_ids (B, T) int32;
+        text_self_mask (B, T, T) bool; text_pad_mask (B, T) bool.
+
+        Returns (pred_logits (B, Q, T), pred_boxes (B, Q, 4) cxcywh in [0,1]).
+        """
+        c = self.cfg
+        # ---------------- text branch
+        txt = bert_mod.BertEncoder(c.bert, dtype=self.dtype, name="bert")(
+            input_ids, text_self_mask, position_ids)
+        txt = nn.Dense(c.hidden, dtype=self.dtype, name="feat_map")(txt)  # resizer
+
+        # ---------------- image branch: backbone + input projections
+        feats = swin_mod.SwinBackbone(c.swin, dtype=self.dtype, name="backbone")(images)
+        feats = feats[-(c.levels - 1):] if len(feats) >= c.levels else feats
+        srcs, shapes = [], []
+        for li, (f, hw) in enumerate(feats):
+            x = nn.Conv(c.hidden, (1, 1), dtype=self.dtype, name=f"input_proj{li}")(f)
+            x = nn.GroupNorm(32 if c.hidden % 32 == 0 else 4, dtype=self.dtype,
+                             name=f"input_gn{li}")(x)
+            srcs.append(x.reshape(x.shape[0], -1, c.hidden))
+            shapes.append(hw)
+        # extra level: stride-2 conv on the last backbone map
+        last = feats[-1][0]
+        x = nn.Conv(c.hidden, (3, 3), (2, 2), padding=1, dtype=self.dtype,
+                    name=f"input_proj{len(feats)}")(last)
+        x = nn.GroupNorm(32 if c.hidden % 32 == 0 else 4, dtype=self.dtype,
+                         name=f"input_gn{len(feats)}")(x)
+        shapes.append((x.shape[1], x.shape[2]))
+        srcs.append(x.reshape(x.shape[0], -1, c.hidden))
+
+        b = images.shape[0]
+        level_embed = self.param("level_embed", nn.initializers.normal(1.0),
+                                 (len(srcs), c.hidden))
+        pos_parts = []
+        for li, (h, w) in enumerate(shapes):
+            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            grid = jnp.stack(jnp.meshgrid(ys, xs, indexing="ij"), axis=-1).reshape(-1, 2)
+            pe = sine_position_embedding(grid, c.hidden)
+            pos_parts.append(pe + level_embed[li])
+        pos = jnp.concatenate(pos_parts, axis=0)[None].astype(self.dtype)
+        memory = jnp.concatenate(srcs, axis=1)
+
+        # per-token reference points: own center replicated across levels
+        centers = []
+        for h, w in shapes:
+            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            g = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
+            centers.append(g)
+        centers = jnp.concatenate(centers, axis=0)
+        ref_enc = jnp.broadcast_to(centers[None, :, None, :],
+                                   (b, centers.shape[0], len(shapes), 2))
+
+        # ---------------- feature enhancer
+        for li in range(c.enc_layers):
+            memory, txt = EnhancerLayer(c, dtype=self.dtype, name=f"enc{li}")(
+                memory, pos, txt, ref_enc, shapes, text_pad_mask)
+
+        # ---------------- language-guided query selection
+        enc_out = nn.Dense(c.hidden, dtype=self.dtype, name="enc_output")(memory)
+        enc_out = nn.LayerNorm(dtype=self.dtype, name="enc_output_ln")(enc_out)
+        sim = jnp.einsum("bic,btc->bit", enc_out, txt)
+        sim = jnp.where(text_pad_mask[:, None, :], sim, -jnp.inf)
+        scores = jnp.max(sim, axis=-1)  # (B, I)
+        topk = jnp.argsort(-scores, axis=1)[:, : c.num_queries]
+
+        sel = jnp.take_along_axis(enc_out, topk[..., None], axis=1)
+        enc_box_head = BoxHead(c.hidden, dtype=self.dtype, name="enc_bbox_head")
+        # per-token grid proposals: own center + level-scaled wh (0.05 * 2^lvl,
+        # the deformable-DETR two-stage proposal convention)
+        whs = jnp.concatenate(
+            [jnp.full((h * w, 2), 0.05 * (2.0 ** li), jnp.float32)
+             for li, (h, w) in enumerate(shapes)], axis=0)
+        proposals = jnp.concatenate([centers, whs], axis=-1)
+        anchors = jnp.take_along_axis(
+            jnp.broadcast_to(proposals[None], (b, *proposals.shape)),
+            topk[..., None], axis=1)
+        boxes = jax.nn.sigmoid(enc_box_head(sel) + _inverse_sigmoid(anchors))
+
+        tgt_embed = self.param("tgt_embed", nn.initializers.normal(1.0),
+                               (c.num_queries, c.hidden))
+        tgt = jnp.broadcast_to(tgt_embed[None].astype(self.dtype), (b, c.num_queries, c.hidden))
+
+        # ---------------- cross-modality decoder with box refinement
+        box_head = BoxHead(c.hidden, dtype=self.dtype, name="bbox_head")  # shared
+        dec_norm = nn.LayerNorm(dtype=self.dtype, name="dec_norm")  # shared
+        ref_fc1 = nn.Dense(c.hidden, dtype=self.dtype, name="ref_point_fc1")  # shared
+        ref_fc2 = nn.Dense(c.hidden, dtype=self.dtype, name="ref_point_fc2")
+        ref = boxes
+        for li in range(c.dec_layers):
+            pe = sine_position_embedding(ref, 2 * c.hidden).astype(self.dtype)
+            query_pos = ref_fc2(nn.relu(ref_fc1(pe)))
+            ref_input = ref[:, :, None, :].repeat(len(shapes), axis=2)
+            tgt = DecoderLayer(c, dtype=self.dtype, name=f"dec{li}")(
+                tgt, query_pos, memory, txt, ref_input, shapes, text_pad_mask)
+            ref = jax.nn.sigmoid(box_head(dec_norm(tgt)) + _inverse_sigmoid(ref))
+
+        # contrastive classification against text tokens
+        logits = jnp.einsum("bqc,btc->bqt", dec_norm(tgt), txt)
+        logits = jnp.where(text_pad_mask[:, None, :], logits, jnp.finfo(jnp.float32).min)
+        return logits, ref
+
+
+class GroundingDINO:
+    """Inference wrapper: caption preprocessing, jitted forward, phrase extraction."""
+
+    def __init__(self, cfg: GDINOConfig, params, tokenizer, dtype=jnp.float32):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.module = GDINOModule(cfg, dtype=dtype)
+        self._forward = jax.jit(
+            lambda p, img, ids, sm, pm, pos: self.module.apply(p, img, ids, sm, pm, pos)
+        )
+
+    @classmethod
+    def create(cls, name_or_cfg="swinb", tokenizer=None, seed: int = 0, dtype=jnp.float32):
+        from beyondff_tpu.models.init_utils import fast_init
+
+        cfg = PRESETS[name_or_cfg] if isinstance(name_or_cfg, str) else name_or_cfg
+        module = GDINOModule(cfg, dtype=dtype)
+        h, w = cfg.image_size
+        t = 8
+        params = fast_init(
+            module,
+            jnp.zeros((1, h, w, 3)),
+            jnp.zeros((1, t), jnp.int32),
+            jnp.ones((1, t, t), bool),
+            jnp.ones((1, t), bool),
+            jnp.zeros((1, t), jnp.int32),
+            seed=seed,
+        )
+        if tokenizer is None:
+            from beyondff_tpu.models.tokenizers import HashTokenizer
+
+            tokenizer = _HashBert(cfg.bert.vocab_size)
+        return cls(cfg, params, tokenizer, dtype=dtype)
+
+    # ------------------------------------------------------------ inference
+    @staticmethod
+    def preprocess_caption(caption: str) -> str:
+        """lowercase + ensure trailing '.' (groundingdino.util.inference)."""
+        c = caption.lower().strip()
+        return c if c.endswith(".") else c + "."
+
+    def preprocess_image(self, image: np.ndarray) -> np.ndarray:
+        """uint8 RGB (H, W, 3) -> normalized (1, H', W', 3) at cfg.image_size."""
+        import cv2
+
+        h, w = self.cfg.image_size
+        r = cv2.resize(image, (w, h), interpolation=cv2.INTER_LINEAR)
+        return ((r.astype(np.float32) / 255.0 - IMAGE_MEAN) / IMAGE_STD)[None]
+
+    def predict(self, image: np.ndarray, caption: str,
+                box_threshold: float = 0.35, text_threshold: float = 0.25):
+        """Single-image open-vocab detection.
+
+        Returns (boxes (K, 4) cxcywh normalized, scores (K,), phrases list).
+        """
+        caption = self.preprocess_caption(caption)
+        enc = self.tokenizer([caption])
+        ids = enc["input_ids"][:, : self.cfg.max_text_len]
+        pad = enc["attention_mask"][:, : self.cfg.max_text_len]
+        special = getattr(self.tokenizer, "special_ids", None) or self._special_ids()
+        self_mask, pos_ids = bert_mod.subsentence_masks(
+            ids, special, self._cls_id(), self._sep_id())
+        img = self.preprocess_image(image)
+        logits, boxes = self._forward(self.params, jnp.asarray(img), jnp.asarray(ids),
+                                      jnp.asarray(self_mask), jnp.asarray(pad),
+                                      jnp.asarray(pos_ids))
+        probs = jax.nn.sigmoid(np.asarray(logits[0], np.float32))  # (Q, T)
+        probs = np.asarray(probs)
+        scores = probs.max(axis=1)
+        keep = scores > box_threshold
+        boxes = np.asarray(boxes[0], np.float32)[keep]
+        kept_probs = probs[keep]
+        phrases = [
+            self._phrase_from_posmap(p > text_threshold, ids[0]) for p in kept_probs
+        ]
+        return boxes, scores[keep], phrases
+
+    def _phrase_from_posmap(self, posmap: np.ndarray, ids: np.ndarray) -> str:
+        toks = [self.tokenizer.decode_token(i) for i in ids[np.flatnonzero(posmap)]]
+        words = [t for t in toks if not t.startswith("[")]
+        out = ""
+        for w in words:
+            if w.startswith("##"):
+                out += w[2:]
+            else:
+                out += (" " if out else "") + w
+        return out
+
+    def _cls_id(self):
+        return getattr(self.tokenizer, "cls", 101)
+
+    def _sep_id(self):
+        return getattr(self.tokenizer, "sep", 102)
+
+    def _special_ids(self):
+        # '.' id if the tokenizer knows it; else empty
+        vocab = getattr(self.tokenizer, "vocab", None)
+        return [vocab["."]] if vocab and "." in vocab else []
+
+
+class _HashBert:
+    """BERT-interface hash tokenizer for weightless runs and tests."""
+
+    cls, sep = 2, 3
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+        self.vocab = {".": 4}
+
+    def __call__(self, texts):
+        import hashlib
+
+        rows = []
+        for t in texts:
+            ids = [self.cls]
+            for w in t.lower().replace(".", " .").split():
+                if w == ".":
+                    ids.append(4)
+                else:
+                    ids.append(5 + int(hashlib.md5(w.encode()).hexdigest(), 16) % (self.vocab_size - 5))
+            ids.append(self.sep)
+            rows.append(ids)
+        width = max(len(r) for r in rows)
+        out = np.zeros((len(rows), width), np.int32)
+        mask = np.zeros((len(rows), width), bool)
+        for i, r in enumerate(rows):
+            out[i, : len(r)] = r
+            mask[i, : len(r)] = True
+        return {"input_ids": out, "attention_mask": mask}
+
+    def decode_token(self, idx):
+        return {2: "[CLS]", 3: "[SEP]", 4: "."}.get(int(idx), f"w{int(idx)}")
+
+    @property
+    def special_ids(self):
+        return [4]

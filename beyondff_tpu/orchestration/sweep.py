@@ -1,0 +1,123 @@
+"""Class-sweep orchestrator: the pipeline's outermost driver.
+
+Rebuild of the reference's subprocess loop (reference: evaluation/eval/
+run_evl.py:56-118): for each class in head[:40]+common[:40]+tail[:40] minus a
+skip list, run segmentation_2d -> projection -> refinement -> evaluation,
+persisting per-(class, stage) completion to a YAML checkpoint so interrupted
+multi-day sweeps resume exactly.
+
+Unlike the reference, stages run in-process (models stay resident on the
+device across classes instead of reloading per subprocess — the reference
+pays a full GroundingDINO+SAM+CLIP load per class), with optional
+``subprocess=True`` for crash isolation, and failures are caught per stage so
+the sweep continues (run_evl.py:115-118).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+import traceback
+from typing import Dict, List, Optional, Sequence
+
+from beyondff_tpu.config import Config
+from beyondff_tpu.data import scannet200
+from beyondff_tpu.utils.checkpoint import SweepCheckpoint
+
+# classes the reference skips as known-bad (run_evl.py:105)
+DEFAULT_SKIP = ("ceiling light", "office chair")
+
+
+def default_class_list(per_group: int = 40) -> List[str]:
+    """head[:N] + common[:N] + tail[:N] (reference: run_evl.py:103)."""
+    return (
+        list(scannet200.HEAD_CATS_SCANNET_200[:per_group])
+        + list(scannet200.COMMON_CATS_SCANNET_200[:per_group])
+        + list(scannet200.TAIL_CATS_SCANNET_200[:per_group])
+    )
+
+
+class SweepRunner:
+    STAGES = ("segmentation", "projection", "refinement", "evaluation")
+
+    def __init__(self, cfg: Config, config_path: Optional[str] = None,
+                 checkpoint_path: str = "process_checkpoint.txt",
+                 skip_segmentation: bool = False, use_subprocess: bool = False):
+        self.cfg = cfg
+        self.config_path = config_path
+        self.checkpoint = SweepCheckpoint(checkpoint_path)
+        # reuse cached 2D masks and only re-run the cheap stages — the
+        # reference's parameter-sweep mode (run_evl_finding_parameter.py:56-87)
+        self.skip_segmentation = skip_segmentation
+        self.use_subprocess = use_subprocess
+        self._segmentor = None
+
+    # ------------------------------------------------------------- stages
+    def _run_stage(self, stage: str, class_name: str) -> None:
+        if self.use_subprocess:
+            tool = {
+                "segmentation": "tools/segmentation_2d.py",
+                "projection": "tools/projection_2d_to_3d.py",
+                "refinement": "tools/refinement.py",
+                "evaluation": "tools/eval_scannet200.py",
+            }[stage]
+            subprocess.run(
+                [sys.executable, tool, "--config", self.config_path, "--cls", class_name],
+                check=True,
+            )
+            return
+        if stage == "segmentation":
+            from beyondff_tpu.pipeline import segmentation_2d
+
+            if self._segmentor is None:
+                self._segmentor = segmentation_2d.Segmentor2D(self.cfg)
+            segmentation_2d.run(self.cfg, class_name, segmentor=self._segmentor)
+        elif stage == "projection":
+            from beyondff_tpu.pipeline import projection
+
+            projection.run(self.cfg, class_name)
+        elif stage == "refinement":
+            from beyondff_tpu.pipeline import refinement
+
+            refinement.run(self.cfg, class_name)
+        elif stage == "evaluation":
+            from beyondff_tpu.pipeline import evaluate
+
+            evaluate.run(self.cfg, class_name, verbose=False)
+
+    def process_class(self, class_name: str) -> Dict[str, bool]:
+        """All four stages for one class, with per-stage resume + failure
+        tolerance (reference: run_evl.py:56-96)."""
+        status: Dict[str, bool] = {}
+        for stage in self.STAGES:
+            if stage == "segmentation" and self.skip_segmentation:
+                status[stage] = True
+                continue
+            if self.checkpoint.stage_done(class_name, stage):
+                status[stage] = True
+                continue
+            t0 = time.time()
+            try:
+                self._run_stage(stage, class_name)
+                ok = True
+            except Exception:
+                traceback.print_exc()
+                ok = False
+            self.checkpoint.mark(class_name, stage, ok)
+            status[stage] = ok
+            print(f"[sweep] {class_name} / {stage}: {'ok' if ok else 'FAILED'} "
+                  f"({time.time() - t0:.1f}s)")
+            if not ok:
+                break  # later stages depend on this one
+        return status
+
+    def run(self, classes: Optional[Sequence[str]] = None,
+            skip: Sequence[str] = DEFAULT_SKIP) -> Dict[str, Dict[str, bool]]:
+        classes = classes if classes is not None else default_class_list()
+        results = {}
+        for class_name in classes:
+            if class_name in skip:
+                continue
+            results[class_name] = self.process_class(class_name)
+        return results

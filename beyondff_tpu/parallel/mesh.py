@@ -1,0 +1,67 @@
+"""Mesh construction and sharding helpers."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1, devices: Optional[Sequence] = None,
+              data_axis: str = "data", model_axis: str = "model") -> Mesh:
+    """(data x model) mesh over the available devices.
+
+    ``data=-1`` consumes all devices not claimed by ``model``. The data axis
+    is laid out innermost so data-parallel collectives ride the fastest ICI
+    links on real slices.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(model, data)
+    return Mesh(arr, (model_axis, data_axis))
+
+
+def data_sharding(mesh: Mesh, ndim: int, axis: int = 0, data_axis: str = "data") -> NamedSharding:
+    """Shard dimension ``axis`` over the data axis, replicate the rest."""
+    spec = [None] * ndim
+    spec[axis] = data_axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# --------------------------------------------------------- TP param rules
+def tensor_parallel_spec(path: tuple, leaf, model_axis: str = "model"):
+    """Partition rule for transformer params: column-parallel up-projections
+    (q/k/v/fc1), row-parallel down-projections (proj/fc2/attn_out), everything
+    else replicated. Path entries are flax dict keys."""
+    names = [getattr(p, "key", str(p)) for p in path]
+    leafname = names[-1] if names else ""
+    parent = names[-2] if len(names) > 1 else ""
+    if leafname == "kernel":
+        if parent in ("q", "k", "v", "qkv", "fc1", "mlp_fc1", "value_proj"):
+            return P(None, model_axis)
+        if parent in ("proj", "fc2", "mlp_fc2", "attn_out", "output_proj", "out_proj"):
+            return P(model_axis, None)
+    if leafname == "bias" and parent in ("q", "k", "v", "qkv", "fc1", "mlp_fc1", "value_proj"):
+        return P(model_axis)
+    return P()
+
+
+def shard_params(params, mesh: Mesh, rule=tensor_parallel_spec):
+    """Place a param tree on the mesh according to ``rule``."""
+    def place(path, leaf):
+        spec = rule(path, leaf)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

@@ -1,0 +1,109 @@
+"""Per-class evaluation driver: final outputs + GT -> ScanNet200 AP rows.
+
+Rebuild of the reference CLI (reference: evaluation/eval/eval_scannet200.py):
+GT ``.pth`` tuples are ``[coords, colors, sem, inst]``; raw semantic ids are
+remapped through the benchmark id table; prediction confidence is forced to
+1.0 (matching the Open3DIS protocol, paper Sec. 4); the class's row is patched
+into a cumulative ``overall_results.txt``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from beyondff_tpu.config import Config
+from beyondff_tpu.core import rle
+from beyondff_tpu.data import scannet200
+from beyondff_tpu.eval import ScanNetEval
+from beyondff_tpu.utils import io as bio
+
+
+def load_gt_scene(gt_path: str) -> Dict:
+    """GT tuple -> remapped (sem, inst) int32 arrays (eval_scannet200.py:86-98)."""
+    import torch
+
+    loader = torch.load(gt_path, map_location="cpu", weights_only=False)
+    sem_raw, inst = np.asarray(loader[2]), np.asarray(loader[3])
+    sem = np.array([scannet200.benchmark_index(int(s)) for s in sem_raw], dtype=np.int32)
+    return {"sem": sem, "inst": inst.astype(np.int32)}
+
+
+def predictions_for_scene(final_path: str, scene_id: str) -> List[Dict]:
+    """Final stage output -> evaluator records; conf forced to 1.0
+    (eval_scannet200.py:120-133)."""
+    d = bio.load_stage_dict(final_path)
+    masks = np.asarray(d["ins"])
+    labels = d["final_class"]
+    preds = []
+    for k in range(len(labels)):
+        mask = masks[k]
+        if isinstance(mask, dict):
+            mask = rle.rle_decode(mask)
+        preds.append(
+            {
+                "scan_id": scene_id,
+                "label_id": scannet200.instance_index(str(labels[k])) + 1,
+                "conf": 1.0,
+                "pred_mask": np.asarray(mask).astype(np.uint8),
+            }
+        )
+    return preds
+
+
+def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None, verbose: bool = True) -> Dict:
+    """Evaluate one class over its final outputs; patch the results table."""
+    data_dir = os.path.join(cfg.paths.final_output_dir, class_name)
+    if scenes is None:
+        scenes = sorted(f.rsplit(".", 1)[0] for f in os.listdir(data_dir) if f.endswith((".pth", ".npz")))
+
+    gtsem, gtinst, res = [], [], []
+    for scene_id in scenes:
+        gt = load_gt_scene(os.path.join(cfg.paths.gt_dir, f"{scene_id}.pth"))
+        gtsem.append(gt["sem"])
+        gtinst.append(gt["inst"])
+        for ext in (".pth", ".npz"):
+            path = os.path.join(data_dir, scene_id + ext)
+            if os.path.exists(path):
+                break
+        res.append(predictions_for_scene(path, scene_id))
+
+    ev = ScanNetEval(class_labels=scannet200.INSTANCE_CAT_SCANNET_200)
+    avgs = ev.evaluate(res, gtsem, gtinst, exp_path=cfg.paths.results_dir, verbose=verbose)
+    update_results_table(
+        os.path.join(cfg.paths.results_dir, "overall_results.txt"), class_name, avgs
+    )
+    return avgs
+
+
+# ------------------------------------------------------------- results table
+def _results_template() -> List[str]:
+    """Header + one placeholder row per class, grouped head/common/tail
+    (eval_scannet200.py:34-48)."""
+    lines = ["class,class id,ap,ap50,ap25,rc,rc50,rc25\n"]
+    for title, cats in [
+        ("Head", scannet200.HEAD_CATS_SCANNET_200),
+        ("Common", scannet200.COMMON_CATS_SCANNET_200),
+        ("Tail", scannet200.TAIL_CATS_SCANNET_200),
+    ]:
+        lines.append(f"\n {title} Classes: \n")
+        lines.extend(f"{c},-,-,-\n" for c in cats)
+    return lines
+
+
+def update_results_table(path: str, class_name: str, avgs: Dict) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if os.path.exists(path):
+        with open(path) as f:
+            lines = f.readlines()
+    else:
+        lines = _results_template()
+    c = avgs["classes"][class_name]
+    row = ",".join(
+        [class_name] + [str(c[k]) for k in ("ap", "ap50%", "ap25%", "rc", "rc50%", "rc25%")] + ["\n"]
+    )
+    lines = [row if ln.startswith(f"{class_name},") else ln for ln in lines]
+    with open(path, "w") as f:
+        f.writelines(lines)

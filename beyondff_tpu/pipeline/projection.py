@@ -1,0 +1,209 @@
+"""Stage 2 driver: lift per-frame 2D masks onto the scene point cloud,
+aggregate multi-view votes, filter, and write the 3D-mask stage contract.
+
+TPU-first rebuild of the reference stage (reference: tools/projection_2d_to_3d.py
+:336-634). Differences by design:
+
+  * frames are processed in fixed-shape device chunks (``lift_frames`` vmap)
+    with detection counts padded to power-of-two buckets, instead of a
+    per-frame NumPy loop with per-frame host<->device round trips;
+  * ``masked_counts`` and ``viewed_counts`` come out of ONE pass over the
+    frames — the reference re-runs projection+visibility over every frame a
+    second time for the detected-ratio filter (projection_2d_to_3d.py:524-578);
+  * the point count N is padded to a bucket size so scenes of different sizes
+    reuse the same compiled program;
+  * the resume checkpoint is written after the scene's output lands on disk
+    (the reference marks the scene done before saving,
+    projection_2d_to_3d.py:580-581 — a crash there loses the scene).
+
+On-disk contracts are unchanged: input 2D RLE ``.pth`` records per scene,
+output ``{"ins", "conf", "final_class"}`` per scene.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from beyondff_tpu.config import Config
+from beyondff_tpu.core import aggregation, filtering, geometry, rle
+from beyondff_tpu.data.readers import build_dataset
+from beyondff_tpu.utils import io as bio
+from beyondff_tpu.utils.checkpoint import SceneCheckpoint
+
+FRAME_CHUNK = 8  # detection frames lifted per device call
+VIEW_CHUNK = 32  # detection-free frames per visibility call
+
+
+def _bucket(n: int, minimum: int = 1) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_points(pcd_h: np.ndarray, bucket: int = 16384) -> np.ndarray:
+    """Pad (4, N) to a bucketed N with w=0 columns (projected z=0 -> invisible)."""
+    n = pcd_h.shape[1]
+    target = ((n + bucket - 1) // bucket) * bucket
+    if target == n:
+        return pcd_h
+    pad = np.zeros((4, target - n), pcd_h.dtype)
+    return np.concatenate([pcd_h, pad], axis=1)
+
+
+def lift_scene(
+    pcd: np.ndarray,  # (N, 3)
+    cam_intr: np.ndarray,  # (3, 3)
+    frames: Sequence[Dict],  # per-frame: {frame_id, pose, depth, masks?, confidences?, labels?}
+    depth_thresh: float = 0.08,
+) -> Tuple[np.ndarray, np.ndarray, List[float], List[str], np.ndarray, np.ndarray]:
+    """Lift all frames of one scene.
+
+    ``frames`` entries with a "masks" key ((M, H, W) bool) contribute lifted
+    instance masks; all entries contribute to ``viewed_counts``.
+
+    Returns (membership (I, N) bool, confidences, labels, masked_counts,
+    viewed_counts) where I = total detections across frames.
+    """
+    n = pcd.shape[0]
+    pcd_h = _pad_points(geometry.homogenize(pcd))
+    pcd_dev = jnp.asarray(pcd_h)
+    n_pad = pcd_h.shape[1]
+
+    det_frames = [f for f in frames if f.get("masks") is not None and len(f["masks"])]
+    empty_frames = [f for f in frames if f.get("masks") is None or not len(f["masks"])]
+
+    members: List[np.ndarray] = []
+    confs: List[float] = []
+    labels: List[str] = []
+    masked_counts = np.zeros(n_pad, np.int64)
+    viewed_counts = np.zeros(n_pad, np.int64)
+
+    # --- detection frames: chunked fixed-shape lift -------------------------
+    for start in range(0, len(det_frames), FRAME_CHUNK):
+        chunk = det_frames[start : start + FRAME_CHUNK]
+        f_pad = FRAME_CHUNK
+        m_pad = _bucket(max(f["masks"].shape[0] for f in chunk))
+        h, w = chunk[0]["depth"].shape
+        projs = np.zeros((f_pad, 3, 4), np.float32)
+        depths = np.zeros((f_pad, h, w), np.float32)
+        masks = np.zeros((f_pad, m_pad, h * w), bool)
+        valid = np.zeros((f_pad, m_pad), bool)
+        for i, f in enumerate(chunk):
+            projs[i] = geometry.fuse_projection(cam_intr, f["pose"]).astype(np.float32)
+            depths[i] = f["depth"]
+            m = f["masks"].reshape(f["masks"].shape[0], -1).astype(bool)
+            masks[i, : m.shape[0]] = m
+            valid[i, : m.shape[0]] = True
+        membership, mc, vc = geometry.lift_frames(
+            pcd_dev, jnp.asarray(projs), jnp.asarray(depths), jnp.asarray(masks),
+            jnp.asarray(valid), depth_thresh,
+        )
+        membership = np.asarray(membership)
+        masked_counts += np.asarray(mc, np.int64)
+        viewed_counts += np.asarray(vc, np.int64)
+        for i, f in enumerate(chunk):
+            m_i = f["masks"].shape[0]
+            members.append(membership[i, :m_i])
+            confs.extend(float(c) for c in f["confidences"])
+            labels.extend(f["labels"])
+
+    # --- detection-free frames: visibility only -----------------------------
+    for start in range(0, len(empty_frames), VIEW_CHUNK):
+        chunk = empty_frames[start : start + VIEW_CHUNK]
+        h, w = chunk[0]["depth"].shape
+        projs = np.zeros((VIEW_CHUNK, 3, 4), np.float32)
+        depths = np.zeros((VIEW_CHUNK, h, w), np.float32)
+        for i, f in enumerate(chunk):
+            projs[i] = geometry.fuse_projection(cam_intr, f["pose"]).astype(np.float32)
+            depths[i] = f["depth"]
+        viewed_counts += np.asarray(
+            geometry.view_counts(pcd_dev, jnp.asarray(projs), jnp.asarray(depths), depth_thresh),
+            np.int64,
+        )
+
+    if members:
+        membership = np.concatenate(members)[:, :n]
+    else:
+        membership = np.zeros((0, n), bool)
+    return membership, np.asarray(confs, np.float32), labels, masked_counts[:n], viewed_counts[:n]
+
+
+def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str] = None) -> Dict:
+    """Run the full projection stage for one (class, scene); writes the output."""
+    ext = ext or cfg.output_format
+    p = cfg.paths
+    reader = build_dataset(p.dataset, os.path.join(p.scene_2d_dir, scene_id))
+    cam_intr = reader.intrinsic()
+
+    pcd = bio.load_point_cloud(p.scene_npy_dir, scene_id)
+    size = (cfg.frames.width_2d, cfg.frames.height_2d)
+
+    # 2D stage output: records only for frames with detections
+    rec_path = os.path.join(p.mask_2d_dir, class_name, f"{scene_id}.{ 'pth' if ext == 'pth' else 'npz'}")
+    if not os.path.exists(rec_path):  # tolerate the other format on disk
+        alt = rec_path[:-4] + ("npz" if ext == "pth" else "pth")
+        rec_path = alt if os.path.exists(alt) else rec_path
+    records = bio.load_frame_records(rec_path)
+    records = rle.decode_frame_masks(records, image_shape=(cfg.frames.height_2d, cfg.frames.width_2d))
+    by_frame = {str(r["frame_id"]).rsplit(".", 1)[0]: r for r in records}
+
+    frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id, cfg.frames.downsample_ratio)
+    frames = []
+    for fid in frame_ids:
+        f: Dict = {
+            "frame_id": fid,
+            "pose": reader.pose(fid),
+            "depth": reader.depth(fid, size=size),
+        }
+        rec = by_frame.get(fid)
+        if rec is not None:
+            masks = np.asarray(rec["segmented_frame_masks"])
+            f["masks"] = masks[:, 0].astype(bool)  # (M, H, W)
+            f["confidences"] = np.asarray(rec["confidences"], np.float32)
+            f["labels"] = list(rec["labels"])
+        frames.append(f)
+
+    membership, confs, labels, masked_counts, viewed_counts = lift_scene(
+        pcd, cam_intr, frames, cfg.frames.depth_thresh
+    )
+
+    out_path = os.path.join(p.mask_3d_dir, class_name, f"{scene_id}.{ext}")
+    if membership.shape[0] == 0:
+        bio.save_stage_dict(out_path, np.zeros((0, pcd.shape[0]), bool), np.zeros(0, np.float32), [])
+        return {"scene_id": scene_id, "instances": 0}
+
+    agg = aggregation.aggregate(
+        membership, confs, labels,
+        iou_thres=cfg.aggregation.iou_thres,
+        min_aggregated_masks=cfg.aggregation.min_aggregated_masks,
+    )
+    if agg.empty:
+        bio.save_stage_dict(out_path, np.zeros((0, pcd.shape[0]), bool), np.zeros(0, np.float32), [])
+        return {"scene_id": scene_id, "instances": 0}
+
+    out = filtering.filter_masks(agg, masked_counts, viewed_counts, cfg.filtering)
+    bio.save_stage_dict(out_path, out.ins, out.conf, out.labels)
+    return {"scene_id": scene_id, "instances": int(out.ins.shape[0])}
+
+
+def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None, resume: bool = True) -> List[Dict]:
+    """Per-class driver over all scenes with 2D-stage outputs
+    (reference scene discovery: projection_2d_to_3d.py:363-365)."""
+    seg_dir = os.path.join(cfg.paths.mask_2d_dir, class_name)
+    if scenes is None:
+        scenes = sorted(
+            f.rsplit(".", 1)[0] for f in os.listdir(seg_dir) if f.endswith((".pth", ".npz"))
+        )
+    ckpt = SceneCheckpoint(cfg.paths.checkpoint_dir, "projection_2d_to_3d", class_name)
+    results = []
+    for scene_id in scenes:
+        if resume and ckpt.done(scene_id):
+            continue
+        results.append(project_scene(cfg, class_name, scene_id))
+        ckpt.mark(scene_id)
+    return results

@@ -1,0 +1,233 @@
+"""Stage 1 driver: open-vocabulary 2D detection + promptable segmentation.
+
+Rebuild of the reference stage (reference: tools/segmentation_2d.py:212-507):
+per scene, each downsampled RGB frame goes through
+
+  1. open-vocab detection (Grounding-DINO by default, YOLO-World variant) with
+     phrase filtering against the query (segmentation_2d.py:133-141),
+  2. optional CLIP supervision: box crops scored against the ensembled
+     descriptor embedding of the query, low-similarity boxes dropped
+     (segmentation_2d.py:340-402),
+  3. box-prompted SAM mask decoding (segmentation_2d.py:172-191),
+
+and the per-frame results are RLE-encoded into the 2D-mask stage contract.
+
+TPU-first differences: model weights load once into jitted programs; the SAM
+decode runs all of a frame's boxes as one batch (the reference loops crops
+one at a time through CLIP — here crops are encoded as one batch too);
+box counts are padded to ``detector.max_detections`` so every frame reuses
+the same compiled decode program.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from beyondff_tpu.config import Config
+from beyondff_tpu.core import rle
+from beyondff_tpu.pipeline import descriptors
+from beyondff_tpu.utils import io as bio
+from beyondff_tpu.utils.checkpoint import SceneCheckpoint
+
+
+def box_cxcywh_to_xyxy(boxes: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Normalized cxcywh -> absolute xyxy (reference: box_ops + scaling)."""
+    cx, cy, bw, bh = boxes.T
+    return np.stack(
+        [(cx - bw / 2) * w, (cy - bh / 2) * h, (cx + bw / 2) * w, (cy + bh / 2) * h], axis=1
+    )
+
+
+class Segmentor2D:
+    """Loads the model stack once; processes scenes frame by frame."""
+
+    def __init__(self, cfg: Config, detector=None, sam=None, clip_model=None,
+                 clip_tokenizer=None):
+        self.cfg = cfg
+        det_cfg = cfg.detector
+        self.detector = detector if detector is not None else self._load_detector()
+        self.sam = sam if sam is not None else self._load_sam()
+        self.clip = None
+        self.clip_tokenizer = None
+        if det_cfg.filter_with_clip:
+            if clip_model is not None:
+                self.clip, self.clip_tokenizer = clip_model, clip_tokenizer
+            else:
+                self.clip, self.clip_tokenizer = self._load_clip()
+        self._query_embedding_cache: Dict[str, np.ndarray] = {}
+
+    # ------------------------------------------------------------- loading
+    def _load_detector(self):
+        d = self.cfg.detector
+        if d.kind == "yolo_world":
+            from beyondff_tpu.models import yolo_world
+
+            return yolo_world.load(d.yolo_world_checkpoint) if d.yolo_world_checkpoint \
+                else yolo_world.YOLOWorld.create("test")
+        from beyondff_tpu.models.gdino import GroundingDINO
+
+        if d.gdino_checkpoint:
+            from beyondff_tpu.models.gdino import convert, model as gdino_model
+            from beyondff_tpu.models.tokenizers import BertTokenizer
+
+            cfg = gdino_model.PRESETS["swinb"]
+            params = convert.convert_torch_checkpoint(d.gdino_checkpoint, cfg)
+            tok = BertTokenizer(d.bert_vocab_path) if d.bert_vocab_path else None
+            return GroundingDINO(cfg, params, tok)
+        return GroundingDINO.create("test")
+
+    def _load_sam(self):
+        d = self.cfg.detector
+        if d.kind == "yolo_world":
+            from beyondff_tpu.models import efficientsam
+
+            if d.efficientsam_checkpoint:
+                cfg = efficientsam.PRESETS["vits"]
+                params = efficientsam.convert_torch_checkpoint(d.efficientsam_checkpoint, cfg)
+                return efficientsam.EfficientSAM(cfg, params)
+            return efficientsam.EfficientSAM.create("test")
+        from beyondff_tpu.models import sam as sam_mod
+
+        if d.sam_checkpoint and os.path.exists(d.sam_checkpoint):
+            cfg = sam_mod.PRESETS["vit_h"]
+            params = sam_mod.convert_torch_checkpoint(d.sam_checkpoint, cfg)
+            return sam_mod.SAM(cfg, params)
+        return sam_mod.SAM.create("test")
+
+    def _load_clip(self):
+        from beyondff_tpu.models import clip as clip_mod
+        from beyondff_tpu.models.tokenizers import HashTokenizer
+
+        d = self.cfg.detector
+        if d.clip_checkpoint:
+            return clip_mod.load(d.clip_model_size, d.clip_checkpoint,
+                                 bpe_path=d.clip_bpe_path or None)
+        model = clip_mod.CLIP.create("test")
+        return model, HashTokenizer(model.cfg.vocab_size, model.cfg.context_length)
+
+    # ------------------------------------------------------- CLIP filtering
+    def query_embedding(self, query: str) -> np.ndarray:
+        """Mean of the CLIP text embeddings of the descriptor-extended query,
+        L2-normalized twice like the reference
+        (compute_avg_description_encodings, segmentation_2d.py:324-337)."""
+        if query in self._query_embedding_cache:
+            return self._query_embedding_cache[query]
+        variants = descriptors.generate(
+            query, self.cfg.detector.descriptor_generator, seed=self.cfg.seed
+        )[query]
+        toks = self.clip_tokenizer(variants)
+        feats = np.array(self.clip.encode_text(toks), np.float32)
+        feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+        mean = feats.mean(axis=0)
+        mean /= np.linalg.norm(mean)
+        self._query_embedding_cache[query] = mean
+        return mean
+
+    def filter_boxes_with_clip(self, image: np.ndarray, boxes_xyxy: np.ndarray,
+                               query: str) -> np.ndarray:
+        """Keep boxes whose crop's CLIP similarity >= threshold. Returns
+        (keep_mask, similarities)."""
+        h, w = image.shape[:2]
+        crops = []
+        for x0, y0, x1, y1 in boxes_xyxy:
+            x0, y0 = max(0, int(x0)), max(0, int(y0))
+            x1, y1 = min(w, int(x1)), min(h, int(y1))
+            if x1 <= x0 or y1 <= y0:
+                crops.append(np.zeros((2, 2, 3), np.uint8))
+                continue
+            crops.append(image[y0:y1, x0:x1])
+        batch = self.clip.preprocess(crops)
+        feats = np.asarray(self.clip.encode_image(batch), np.float32)
+        feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+        sims = feats @ self.query_embedding(query)
+        return sims >= self.cfg.detector.similarity_threshold, sims
+
+    # ------------------------------------------------------------ per frame
+    def process_frame(self, image: np.ndarray, query: str) -> Optional[Dict]:
+        """One RGB frame -> detection record or None (no boxes)."""
+        d = self.cfg.detector
+        h, w = image.shape[:2]
+
+        boxes, scores, phrases = self.detector.predict(
+            image, query, box_threshold=d.box_threshold, text_threshold=d.text_threshold
+        )
+        if d.must_match_query and len(phrases):
+            keep = np.array([query in p for p in phrases], bool)
+            boxes, scores = boxes[keep], scores[keep]
+            phrases = [p for p, k in zip(phrases, keep) if k]
+        if boxes.shape[0] == 0:
+            return None
+
+        boxes_xyxy = box_cxcywh_to_xyxy(boxes, w, h)
+        if self.clip is not None:
+            keep, sims = self.filter_boxes_with_clip(image, boxes_xyxy, query)
+            boxes_xyxy = boxes_xyxy[keep]
+            scores = sims[keep]  # the reference replaces logits with CLIP sims
+            phrases = [p for p, k in zip(phrases, keep) if k]
+            if boxes_xyxy.shape[0] == 0:
+                return None
+        if boxes_xyxy.shape[0] > d.max_detections:
+            order = np.argsort(-np.asarray(scores))[: d.max_detections]
+            boxes_xyxy = boxes_xyxy[order]
+            scores = np.asarray(scores)[order]
+            phrases = [phrases[i] for i in order]
+
+        # SAM decode: whole frame's boxes as one batch
+        x, input_hw = self.sam.preprocess(image[None])
+        emb = np.asarray(self.sam.encode_image(x))[0]
+        sam_boxes = self.sam.transform_boxes(boxes_xyxy, (h, w))
+        low_res, _ = self.sam.decode_boxes(emb, sam_boxes)
+        masks = self.sam.postprocess_masks(low_res, input_hw, (h, w))  # (M, H, W)
+
+        return {
+            "segmented_frame_masks": masks[:, None].astype(bool),  # (M, 1, H, W)
+            "confidences": [float(s) for s in np.asarray(scores)],
+            "labels": list(phrases),
+        }
+
+    # ------------------------------------------------------------ per scene
+    def process_scene(self, scene_id: str, query: str) -> List[Dict]:
+        p = self.cfg.paths
+        size = (self.cfg.frames.width_2d, self.cfg.frames.height_2d)
+        frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id,
+                                          self.cfg.frames.downsample_ratio)
+        records = []
+        for fid in frame_ids:
+            img = bio.load_image(
+                os.path.join(p.scene_2d_dir, scene_id, "color", f"{fid}.jpg"), size=size
+            )
+            rec = self.process_frame(img, query)
+            if rec is not None:
+                rec["frame_id"] = f"{fid}.jpg"
+                records.append(rec)
+        return records
+
+
+def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None,
+        resume: bool = True, segmentor: Optional[Segmentor2D] = None) -> List[Dict]:
+    """Per-class driver. Scene list defaults to the stage-1 results dir
+    (reference scene discovery: segmentation_2d.py:453-454)."""
+    p = cfg.paths
+    if scenes is None:
+        scenes = sorted(
+            f.rsplit(".", 1)[0]
+            for f in os.listdir(p.stage_1_results_dir)
+            if f.endswith((".pth", ".npz"))
+        )
+    seg = segmentor or Segmentor2D(cfg)
+    ckpt = SceneCheckpoint(p.checkpoint_dir, "segmentation_2d", class_name)
+    results = []
+    for scene_id in scenes:
+        if resume and ckpt.done(scene_id):
+            continue
+        records = seg.process_scene(scene_id, class_name)
+        n_frames = len(records)
+        rle.encode_frame_masks(records)
+        out = os.path.join(p.mask_2d_dir, class_name, f"{scene_id}.{cfg.output_format}")
+        bio.save_frame_records(out, records)
+        ckpt.mark(scene_id)
+        results.append({"scene_id": scene_id, "frames_with_boxes": n_frames})
+    return results

@@ -1,0 +1,64 @@
+"""CLIP model: shapes, determinism, tokenizer behavior (tiny config)."""
+
+import numpy as np
+import pytest
+
+from beyondff_tpu.models import clip as clip_mod
+from beyondff_tpu.models.tokenizers import BertTokenizer, HashTokenizer
+
+
+@pytest.fixture(scope="module")
+def tiny_clip():
+    return clip_mod.CLIP.create("test", seed=0)
+
+
+def test_encode_shapes(tiny_clip):
+    c = tiny_clip.cfg
+    imgs = np.random.default_rng(0).normal(size=(3, c.image_resolution, c.image_resolution, 3)).astype(np.float32)
+    feats = np.asarray(tiny_clip.encode_image(imgs))
+    assert feats.shape == (3, c.embed_dim)
+    tok = HashTokenizer(c.vocab_size, c.context_length)
+    toks = tok(["a chair", "a photo of clothes"])
+    tfeats = np.asarray(tiny_clip.encode_text(toks))
+    assert tfeats.shape == (2, c.embed_dim)
+    assert np.isfinite(tfeats).all() and np.isfinite(feats).all()
+
+
+def test_text_encoding_deterministic_and_eot_pooling(tiny_clip):
+    tok = HashTokenizer(tiny_clip.cfg.vocab_size, tiny_clip.cfg.context_length)
+    a = np.asarray(tiny_clip.encode_text(tok(["chair"])))
+    b = np.asarray(tiny_clip.encode_text(tok(["chair"])))
+    np.testing.assert_array_equal(a, b)
+    # different text -> different features
+    c = np.asarray(tiny_clip.encode_text(tok(["table"])))
+    assert not np.allclose(a, c)
+
+
+def test_preprocess_shapes(tiny_clip):
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (40, 60, 3), dtype=np.uint8) for _ in range(2)]
+    out = tiny_clip.preprocess(np.asarray(imgs, dtype=object) if False else list(imgs))
+    n = tiny_clip.cfg.image_resolution
+    assert out.shape == (2, n, n, 3)
+    assert out.dtype == np.float32
+
+
+def test_hash_tokenizer_layout():
+    tok = HashTokenizer(512, 16)
+    out = tok(["hello world"])
+    assert out.shape == (1, 16)
+    assert out[0, 0] == 510  # SOT
+    assert out[0, 3] == 511  # EOT after 2 words
+    assert out[0, 4:].sum() == 0
+
+
+def test_bert_wordpiece(tmp_path):
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "cloth", "##es", "chair", "a", "."]
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(vocab) + "\n")
+    tok = BertTokenizer(str(p))
+    out = tok(["clothes chair", "a zzz ."])
+    ids = out["input_ids"]
+    assert ids[0].tolist()[:5] == [2, 4, 5, 6, 3]  # CLS cloth ##es chair SEP
+    assert ids[1].tolist()[:5] == [2, 7, 1, 8, 3]  # CLS a UNK . SEP
+    assert out["attention_mask"][0, :5].all()

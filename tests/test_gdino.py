@@ -1,0 +1,71 @@
+"""Grounding-DINO: tiny-config forward, phrase extraction, sub-modules."""
+
+import numpy as np
+import pytest
+
+from beyondff_tpu.models.gdino import GroundingDINO
+from beyondff_tpu.models.gdino import bert as bert_mod
+from beyondff_tpu.models.gdino.deformable import ms_deform_attn
+
+import jax.numpy as jnp
+
+
+def test_ms_deform_attn_center_sampling():
+    """Sampling exactly at a pixel center with weight 1 returns that value."""
+    h, w, heads, hd = 4, 6, 2, 3
+    val = np.arange(h * w * heads * hd, dtype=np.float32).reshape(1, h * w, heads, hd)
+    # one query, one level, one point: sample pixel (row 1, col 2) center
+    loc = np.zeros((1, 1, heads, 1, 1, 2), np.float32)
+    loc[..., 0] = (2 + 0.5) / w
+    loc[..., 1] = (1 + 0.5) / h
+    wgt = np.ones((1, 1, heads, 1, 1), np.float32)
+    out = np.asarray(ms_deform_attn(jnp.asarray(val), [(h, w)], jnp.asarray(loc), jnp.asarray(wgt)))
+    expect = val[0, 1 * w + 2].reshape(-1)
+    np.testing.assert_allclose(out[0, 0], expect, rtol=1e-5)
+
+
+def test_ms_deform_attn_bilinear_midpoint():
+    """Sampling between two pixel centers averages them."""
+    h, w = 2, 2
+    val = np.array([[1.0], [3.0], [5.0], [7.0]], np.float32).reshape(1, 4, 1, 1)
+    loc = np.zeros((1, 1, 1, 1, 1, 2), np.float32)
+    loc[..., 0] = 0.5  # x midway between the two columns
+    loc[..., 1] = 0.25  # y at row-0 center
+    wgt = np.ones((1, 1, 1, 1, 1), np.float32)
+    out = np.asarray(ms_deform_attn(jnp.asarray(val), [(h, w)], jnp.asarray(loc), jnp.asarray(wgt)))
+    np.testing.assert_allclose(out[0, 0, 0], 2.0, rtol=1e-5)  # (1+3)/2
+
+
+def test_subsentence_masks():
+    # [CLS] a b . c [SEP]
+    ids = np.array([[2, 10, 11, 4, 12, 3]])
+    mask, pos = bert_mod.subsentence_masks(ids, [4], cls_id=2, sep_id=3)
+    m = mask[0]
+    assert m[1, 2] and m[2, 1]  # a <-> b same phrase
+    assert not m[1, 4] and not m[4, 1]  # a <-/-> c across '.'
+    assert m[0, 0] and m[5, 5]  # specials attend to themselves
+    assert pos[0, 1] == 0 and pos[0, 2] == 1  # phrase-local positions
+    assert pos[0, 4] == 0  # restart after '.'
+
+
+@pytest.fixture(scope="module")
+def tiny_gdino():
+    return GroundingDINO.create("test", seed=0)
+
+
+def test_predict_shapes(tiny_gdino):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+    boxes, scores, phrases = tiny_gdino.predict(img, "clothes", box_threshold=0.0,
+                                                text_threshold=0.0)
+    assert boxes.shape[1] == 4
+    assert boxes.shape[0] == scores.shape[0] == len(phrases)
+    assert boxes.shape[0] <= tiny_gdino.cfg.num_queries
+    assert np.all(boxes >= 0) and np.all(boxes <= 1)
+
+
+def test_high_threshold_filters(tiny_gdino):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+    boxes, scores, _ = tiny_gdino.predict(img, "clothes", box_threshold=1.0)
+    assert boxes.shape[0] == 0 and scores.shape[0] == 0

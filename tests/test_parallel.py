@@ -1,0 +1,80 @@
+"""Multi-device (8 virtual CPU) sharding: mesh, sharded lift, dp x tp train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beyondff_tpu.core import geometry
+from beyondff_tpu.parallel import lift as plift
+from beyondff_tpu.parallel import mesh as mesh_lib
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def test_make_mesh_shapes():
+    mesh = mesh_lib.make_mesh(data=-1, model=2)
+    assert mesh.shape == {"model": 2, "data": 4}
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    assert mesh.shape == {"model": 1, "data": 8}
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(data=3, model=3)
+
+
+def test_sharded_lift_matches_single_device(rng):
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    n, h, w, m = 256, 16, 24, 2
+    f = 8
+    pcd_h = geometry.homogenize(rng.uniform([-1, -1, 1], [1, 1, 3], (n, 3)))
+    intr = np.array([[12.0, 0, w / 2], [0, 12.0, h / 2], [0, 0, 1.0]])
+    projs = np.stack([
+        geometry.fuse_projection(intr, np.eye(4)).astype(np.float32) for _ in range(f)
+    ])
+    depths = rng.uniform(1, 3, (f, h, w)).astype(np.float32)
+    masks = rng.random((f, m, h * w)) < 0.5
+    valid = np.ones((f, m), bool)
+
+    ref = geometry.lift_frames(
+        jnp.asarray(pcd_h), jnp.asarray(projs), jnp.asarray(depths),
+        jnp.asarray(masks), jnp.asarray(valid))
+    sharded_fn = plift.make_sharded_lift(mesh)
+    out = sharded_fn(jnp.asarray(pcd_h), jnp.asarray(projs), jnp.asarray(depths),
+                     jnp.asarray(masks), jnp.asarray(valid))
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tensor_parallel_spec_rules():
+    from jax.sharding import PartitionSpec as P
+    from jax.tree_util import DictKey
+
+    assert mesh_lib.tensor_parallel_spec((DictKey("attn"), DictKey("q"), DictKey("kernel")), None) == P(None, "model")
+    assert mesh_lib.tensor_parallel_spec((DictKey("attn"), DictKey("proj"), DictKey("kernel")), None) == P("model", None)
+    assert mesh_lib.tensor_parallel_spec((DictKey("ln1"), DictKey("scale")), None) == P()
+
+
+def test_sharded_clip_train_step(rng):
+    from beyondff_tpu.models import clip as clip_mod
+    from beyondff_tpu.training import make_sharded_train_step
+
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    model = clip_mod.CLIP.create("test", seed=0)
+    init_state, train_step = make_sharded_train_step(model.module, mesh)
+    state = init_state(model.params)
+    c = model.cfg
+    images = jnp.asarray(rng.normal(size=(4, c.image_resolution, c.image_resolution, 3)),
+                         jnp.float32)
+    tokens = jnp.asarray(rng.integers(1, c.vocab_size, (4, c.context_length)), jnp.int32)
+    state2, loss = train_step(state, images, tokens)
+    assert np.isfinite(float(loss))
+    assert int(state2.step) == 1
+    # params actually changed
+    a = jax.tree_util.tree_leaves(state2.params)[0]
+    assert a.dtype == jnp.float32
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,60 @@
+"""End-to-end pipeline integration: synthetic scene -> projection -> refinement
+-> evaluation (BASELINE.json config[0]: precomputed 2D masks, CPU-runnable)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+from beyondff_tpu.config import Config
+from beyondff_tpu.pipeline import evaluate, projection, refinement
+from beyondff_tpu.utils import io as bio
+
+
+@pytest.fixture(scope="module")
+def scene_cfg(tmp_path_factory):
+    import make_synthetic_scene
+
+    root = str(tmp_path_factory.mktemp("bffscene"))
+    cfg_path = make_synthetic_scene.generate(root, query="clothes", scenes=1, seed=7)
+    return Config.from_yaml(cfg_path)
+
+
+def test_projection_stage(scene_cfg):
+    results = projection.run(scene_cfg, "clothes", resume=False)
+    assert len(results) == 1
+    out = bio.load_stage_dict(
+        os.path.join(scene_cfg.paths.mask_3d_dir, "clothes", "scene0000_00.pth")
+    )
+    ins = np.asarray(out["ins"])
+    assert ins.shape[0] == 2  # both query objects recovered
+    assert list(out["final_class"]) == ["clothes", "clothes"]
+    assert ins.sum(axis=1).min() > 100  # substantial masks
+
+
+def test_refinement_stage(scene_cfg):
+    results = refinement.run(scene_cfg, "clothes")
+    assert len(results) == 1 and results[0]["instances"] == 2
+    out = bio.load_stage_dict(
+        os.path.join(scene_cfg.paths.final_output_dir, "clothes", "scene0000_00.pth")
+    )
+    assert list(out["final_class"]) == ["clothes", "clothes"]
+
+
+def test_evaluation_stage(scene_cfg):
+    avgs = evaluate.run(scene_cfg, "clothes", verbose=False)
+    c = avgs["classes"]["clothes"]
+    assert c["ap50%"] == pytest.approx(1.0)
+    assert c["ap"] > 0.8
+    # results table got patched
+    table = open(os.path.join(scene_cfg.paths.results_dir, "overall_results.txt")).read()
+    assert "clothes," in table and "clothes,-" not in table
+
+
+def test_projection_resume(scene_cfg):
+    # second run with resume: all scenes checkpointed -> no work
+    results = projection.run(scene_cfg, "clothes", resume=True)
+    assert results == []

@@ -1,0 +1,52 @@
+"""SAM model: shapes, box-prompt sensitivity, postprocessing (tiny config)."""
+
+import numpy as np
+import pytest
+
+from beyondff_tpu.models import sam as sam_mod
+
+
+@pytest.fixture(scope="module")
+def tiny_sam():
+    return sam_mod.SAM.create("test", seed=0)
+
+
+def test_encode_decode_shapes(tiny_sam):
+    c = tiny_sam.cfg
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (2, 50, 60, 3), dtype=np.uint8)
+    x, input_hw = tiny_sam.preprocess(imgs)
+    assert x.shape == (2, c.img_size, c.img_size, 3)
+    emb = tiny_sam.encode_image(x)
+    g = c.img_size // c.patch_size
+    assert emb.shape == (2, g, g, c.prompt_dim)
+
+    boxes = tiny_sam.transform_boxes(np.array([[5, 5, 40, 45], [10, 0, 55, 30]]), (50, 60))
+    masks, iou = tiny_sam.decode_boxes(np.asarray(emb[0]), boxes)
+    assert masks.shape == (2, 4 * g, 4 * g)
+    assert iou.shape == (2,)
+    out = tiny_sam.postprocess_masks(masks, input_hw, (50, 60))
+    assert out.shape == (2, 50, 60) and out.dtype == bool
+
+
+def test_different_boxes_different_masks(tiny_sam):
+    c = tiny_sam.cfg
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (1, c.img_size, c.img_size, 3), dtype=np.uint8)
+    x, _ = tiny_sam.preprocess(imgs)
+    emb = np.asarray(tiny_sam.encode_image(x))[0]
+    boxes = np.array([[0, 0, 20, 20], [40, 40, 60, 60]], np.float32)
+    masks, _ = tiny_sam.decode_boxes(emb, boxes)
+    assert not np.allclose(np.asarray(masks[0]), np.asarray(masks[1]))
+
+
+def test_batch_invariance(tiny_sam):
+    """Decoding boxes in one batch == decoding them separately."""
+    c = tiny_sam.cfg
+    g = c.img_size // c.patch_size
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(g, g, c.prompt_dim)).astype(np.float32)
+    boxes = np.array([[0, 0, 30, 30], [10, 20, 50, 60]], np.float32)
+    both, _ = tiny_sam.decode_boxes(emb, boxes)
+    one, _ = tiny_sam.decode_boxes(emb, boxes[:1])
+    np.testing.assert_allclose(np.asarray(both[0]), np.asarray(one[0]), rtol=2e-4, atol=2e-4)

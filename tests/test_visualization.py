@@ -1,0 +1,34 @@
+"""Visualization exports: colored PLY round-trip."""
+
+import numpy as np
+
+from beyondff_tpu.utils.ply import read_ply_vertices, read_point_cloud_with_colors
+from beyondff_tpu.visualization.visualize import _palette, write_colored_ply
+
+
+def test_colored_ply_round_trip(tmp_path, rng):
+    xyz = rng.normal(size=(100, 3)).astype(np.float32)
+    rgb = rng.integers(0, 255, (100, 3)).astype(np.uint8)
+    path = str(tmp_path / "scene.ply")
+    write_colored_ply(path, xyz, rgb)
+    back_xyz, back_rgb = read_point_cloud_with_colors(path)
+    np.testing.assert_allclose(back_xyz, xyz, rtol=1e-6)
+    np.testing.assert_allclose(back_rgb * 255, rgb, atol=0.5)
+
+
+def test_palette_distinct():
+    p = _palette(10)
+    assert p.shape == (10, 3)
+    assert len({tuple(c) for c in p}) == 10
+
+
+def test_ply_vertex_reader_ascii(tmp_path):
+    path = tmp_path / "a.ply"
+    path.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 2\n"
+        "property float x\nproperty float y\nproperty float z\nend_header\n"
+        "1.0 2.0 3.0\n4.0 5.0 6.0\n"
+    )
+    v = read_ply_vertices(str(path))
+    np.testing.assert_allclose(v["x"], [1.0, 4.0])
+    np.testing.assert_allclose(v["z"], [3.0, 6.0])

@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""Stage 2 CLI: project per-frame 2D masks onto the 3D point cloud.
+
+Usage (same shape as the reference command, README.md:44-54):
+    python tools/projection_2d_to_3d.py --config configs/config.yaml --cls "clothes"
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from beyondff_tpu.config import Config
+from beyondff_tpu.pipeline import projection
+
+
+def main():
+    ap = argparse.ArgumentParser(description="BeyondFF-TPU 2D->3D projection stage")
+    ap.add_argument("--config", required=True, help="path to config YAML")
+    ap.add_argument("--cls", required=True, help="text query / class name")
+    ap.add_argument("--scene", default=None, help="restrict to one scene id")
+    ap.add_argument("--no-resume", action="store_true", help="ignore scene checkpoints")
+    args = ap.parse_args()
+
+    cfg = Config.from_yaml(args.config)
+    scenes = [args.scene] if args.scene else None
+    t0 = time.time()
+    results = projection.run(cfg, args.cls, scenes=scenes, resume=not args.no_resume)
+    dt = time.time() - t0
+    done = len(results)
+    print(f"[projection] class={args.cls!r} scenes={done} time={dt:.2f}s"
+          + (f" ({dt / done:.2f}s/scene)" if done else ""))
+    for r in results:
+        print(f"  {r['scene_id']}: {r['instances']} instances")
+
+
+if __name__ == "__main__":
+    main()
