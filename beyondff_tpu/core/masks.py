@@ -81,7 +81,15 @@ def mask_iou(a: np.ndarray, b: Optional[np.ndarray] = None, use_device: Optional
     pb = -ib % _ROW_BUCKET
     a_p = np.pad(a, ((0, pa), (0, 0)))
     b_p = a_p if b is None else np.pad(b_arr, ((0, pb), (0, 0)))
-    out = np.asarray(pairwise_iou(jnp.asarray(a_p), None if b is None else jnp.asarray(b_p)))
+    from beyondff_tpu.kernels import dispatch
+
+    if dispatch.on_tpu():
+        from beyondff_tpu.kernels import mask_iou as kiou
+
+        out = np.asarray(kiou.pad_and_iou(jnp.asarray(a_p),
+                                          None if b is None else jnp.asarray(b_p)))
+    else:
+        out = np.asarray(pairwise_iou(jnp.asarray(a_p), None if b is None else jnp.asarray(b_p)))
     return out[:ia, :ib]
 
 

@@ -59,16 +59,37 @@ class Attention(nn.Module):
             return t.reshape(*t.shape[:-1], self.num_heads, head_dim)
 
         qh, kh, vh = split(qp), split(kp), split(vp)
-        scale = head_dim ** -0.5
-        logits = jnp.einsum("...qhd,...khd->...hqk", qh * scale, kh)
-        if attn_bias is not None:
-            logits = logits + attn_bias
-        if mask is not None:
-            logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("...hqk,...khd->...qhd", weights, vh)
-        out = out.reshape(*out.shape[:-2], inner)
+        if self._use_flash(qh, kh, mask, attn_bias):
+            from beyondff_tpu.kernels import flash_attention as fa
+
+            b, s, _, _ = qh.shape
+            sk = kh.shape[1]
+            fq = qh.transpose(0, 2, 1, 3).reshape(b * self.num_heads, s, head_dim)
+            fk = kh.transpose(0, 2, 1, 3).reshape(b * self.num_heads, sk, head_dim)
+            fv = vh.transpose(0, 2, 1, 3).reshape(b * self.num_heads, sk, head_dim)
+            out = fa.attend(fq, fk, fv)
+            out = out.reshape(b, self.num_heads, s, head_dim).transpose(0, 2, 1, 3)
+            out = out.reshape(b, s, inner)
+        else:
+            scale = head_dim ** -0.5
+            logits = jnp.einsum("...qhd,...khd->...hqk", qh * scale, kh)
+            if attn_bias is not None:
+                logits = logits + attn_bias
+            if mask is not None:
+                logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("...hqk,...khd->...qhd", weights, vh)
+            out = out.reshape(*out.shape[:-2], inner)
         return nn.Dense(self.out_dim or dim, dtype=self.dtype, name="proj")(out)
+
+    def _use_flash(self, qh, kh, mask, attn_bias) -> bool:
+        if mask is not None or attn_bias is not None or qh.ndim != 4:
+            return False
+        if qh.shape[1] != kh.shape[1] or qh.shape[1] < 512:
+            return False
+        from beyondff_tpu.kernels import dispatch
+
+        return dispatch.on_tpu()
 
 
 class TransformerBlock(nn.Module):

@@ -104,6 +104,16 @@ class ViTAttention(nn.Module):
             qkv[:, :, 1].transpose(0, 2, 1, 3).reshape(b * self.num_heads, h * w, head_dim),
             qkv[:, :, 2].transpose(0, 2, 1, 3).reshape(b * self.num_heads, h * w, head_dim),
         )
+        if not self.use_rel_pos and h * w >= 512:
+            from beyondff_tpu.kernels import dispatch
+
+            if dispatch.on_tpu():
+                from beyondff_tpu.kernels import flash_attention as fa
+
+                out = fa.attend(q, k, v)
+                out = out.reshape(b, self.num_heads, h * w, head_dim)
+                out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+                return nn.Dense(c, dtype=self.dtype, name="proj")(out)
         logits = (q * head_dim ** -0.5) @ k.transpose(0, 2, 1)
         if self.use_rel_pos:
             rel_h = self.param("rel_pos_h", nn.initializers.zeros, (2 * h - 1, head_dim))

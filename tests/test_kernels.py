@@ -1,0 +1,64 @@
+"""Pallas kernels (interpreter mode on CPU) vs XLA/numpy oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from beyondff_tpu.core import masks as mask_ops
+from beyondff_tpu.kernels import mask_iou as kiou
+
+
+def test_pallas_iou_matches_oracle(rng):
+    a = rng.random((130, 2100)) < 0.3
+    b = rng.random((70, 2100)) < 0.4
+    out = np.asarray(kiou.pad_and_iou(jnp.asarray(a), jnp.asarray(b), interpret=True))
+    ref = mask_ops.pairwise_iou_np(a, b)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_iou_self(rng):
+    a = rng.random((96, 4096)) < 0.2
+    out = np.asarray(kiou.pad_and_iou(jnp.asarray(a), interpret=True))
+    ref = mask_ops.pairwise_iou_np(a)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    nonempty = a.sum(1) > 0
+    np.testing.assert_allclose(np.diag(out)[nonempty], 1.0, rtol=1e-6)
+
+
+def _xla_attention(q, k, v):
+    d = q.shape[-1]
+    logits = np.einsum("bqd,bkd->bqk", q * d ** -0.5, k)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    return np.einsum("bqk,bkd->bqd", w, v)
+
+
+def test_flash_attention_matches_xla(rng):
+    from beyondff_tpu.kernels import flash_attention as fa
+
+    q = rng.normal(size=(2, 512, 64)).astype(np.float32)
+    k = rng.normal(size=(2, 512, 64)).astype(np.float32)
+    v = rng.normal(size=(2, 512, 64)).astype(np.float32)
+    out = np.asarray(fa.flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                        interpret=True))
+    ref = _xla_attention(q, k, v)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_padded(rng):
+    from beyondff_tpu.kernels import flash_attention as fa
+
+    q = rng.normal(size=(1, 300, 32)).astype(np.float32)
+    k = rng.normal(size=(1, 300, 32)).astype(np.float32)
+    v = rng.normal(size=(1, 300, 32)).astype(np.float32)
+    out = np.asarray(fa.attend(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True))
+    ref = _xla_attention(q, k, v)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_small_fallback(rng):
+    from beyondff_tpu.kernels import flash_attention as fa
+
+    q = rng.normal(size=(1, 16, 8)).astype(np.float32)
+    out = np.asarray(fa.attend(jnp.asarray(q), jnp.asarray(q), jnp.asarray(q)))
+    ref = _xla_attention(q, q, q)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
