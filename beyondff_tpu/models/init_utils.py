@@ -21,10 +21,17 @@ def fast_init(module, *args, seed: int = 0, scale: float = 0.1, method=None, **k
     )
     rng = np.random.default_rng(seed)
 
-    def fill(leaf):
-        if jnp.issubdtype(leaf.dtype, jnp.floating):
-            arr = rng.standard_normal(leaf.shape, dtype=np.float32) * scale
-            return jnp.asarray(arr, leaf.dtype)
-        return jnp.zeros(leaf.shape, leaf.dtype)
+    def fill(path, leaf):
+        names = [str(getattr(p, "key", p)) for p in path]
+        leafname = names[-1] if names else ""
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        # normalization statistics and scales must stay well-posed
+        if leafname in ("var",) or leafname == "scale":
+            return jnp.ones(leaf.shape, leaf.dtype)
+        if leafname in ("mean", "bias"):
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        arr = rng.standard_normal(leaf.shape, dtype=np.float32) * scale
+        return jnp.asarray(arr, leaf.dtype)
 
-    return jax.tree_util.tree_map(fill, shapes)
+    return jax.tree_util.tree_map_with_path(fill, shapes)

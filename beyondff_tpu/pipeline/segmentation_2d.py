@@ -48,15 +48,19 @@ class Segmentor2D:
                  clip_tokenizer=None):
         self.cfg = cfg
         det_cfg = cfg.detector
-        self.detector = detector if detector is not None else self._load_detector()
-        self.sam = sam if sam is not None else self._load_sam()
         self.clip = None
         self.clip_tokenizer = None
-        if det_cfg.filter_with_clip:
+        if det_cfg.filter_with_clip or det_cfg.kind == "yolo_world":
             if clip_model is not None:
                 self.clip, self.clip_tokenizer = clip_model, clip_tokenizer
             else:
                 self.clip, self.clip_tokenizer = self._load_clip()
+        self.detector = detector if detector is not None else self._load_detector()
+        if det_cfg.kind == "yolo_world" and getattr(self.detector, "clip", None) is None:
+            # YOLO-World derives class embeddings from the CLIP text tower
+            self.detector.clip = self.clip
+            self.detector.clip_tokenizer = self.clip_tokenizer
+        self.sam = sam if sam is not None else self._load_sam()
         self._query_embedding_cache: Dict[str, np.ndarray] = {}
 
     # ------------------------------------------------------------- loading

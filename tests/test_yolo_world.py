@@ -1,0 +1,52 @@
+"""YOLO-World: tiny-config forward, NMS semantics, predict interface."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beyondff_tpu.models import yolo_world as yw
+
+
+def test_nms_fixed_suppresses_overlaps():
+    boxes = jnp.asarray(np.array([
+        [0, 0, 10, 10],
+        [1, 1, 11, 11],   # heavy overlap with box 0, lower score -> suppressed
+        [50, 50, 60, 60],
+    ], np.float32))
+    scores = jnp.asarray(np.array([0.9, 0.8, 0.7], np.float32))
+    keep_idx, valid = yw.nms_fixed(boxes, scores, iou_thres=0.5, top_k=3)
+    kept = set(np.asarray(keep_idx)[np.asarray(valid)].tolist())
+    assert kept == {0, 2}
+
+
+def test_nms_keeps_disjoint():
+    boxes = jnp.asarray(np.array([[0, 0, 5, 5], [10, 10, 15, 15], [20, 20, 25, 25]], np.float32))
+    scores = jnp.asarray(np.array([0.5, 0.9, 0.7], np.float32))
+    keep_idx, valid = yw.nms_fixed(boxes, scores, iou_thres=0.5, top_k=3)
+    assert np.asarray(valid).all()
+    assert set(np.asarray(keep_idx).tolist()) == {0, 1, 2}
+
+
+@pytest.fixture(scope="module")
+def tiny_yw():
+    return yw.YOLOWorld.create("test", seed=0)
+
+
+def test_forward_shapes(tiny_yw):
+    c = tiny_yw.cfg
+    h, w = c.img_size
+    img = jnp.zeros((1, h, w, 3))
+    txt = jnp.asarray(np.random.default_rng(0).normal(size=(3, c.text_dim)).astype(np.float32))
+    boxes, logits = tiny_yw._forward(tiny_yw.params, img, txt)
+    n_anchors = (h // 8) * (w // 8) + (h // 16) * (w // 16) + (h // 32) * (w // 32)
+    assert boxes.shape == (1, n_anchors, 4)
+    assert logits.shape == (1, n_anchors, 3)
+
+
+def test_predict_interface(tiny_yw):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+    boxes, scores, phrases = tiny_yw.predict(img, "clothes .", box_threshold=0.0)
+    assert boxes.shape[1] == 4 and len(phrases) == boxes.shape[0]
+    assert np.all(boxes >= 0) and np.all(boxes <= 1)
+    assert all(p == "clothes" for p in phrases)
