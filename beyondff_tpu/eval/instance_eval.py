@@ -40,6 +40,7 @@ class _GtInstance:
     instance_id: int
     label_id: int
     vert_count: int
+    box: Optional[np.ndarray] = None  # (6,) min/max corner, box-IoU mode
     # preds intersecting this gt, in pred order: (pred_index, intersection, iou)
     matched_preds: List[tuple] = field(default_factory=list)
 
@@ -158,11 +159,83 @@ class ScanNetEval:
 
         return _SceneMatch(gts=gts, preds=preds_out)
 
+    def assign_boxes_for_scan(
+        self, preds: Sequence[Dict], gt_sem: np.ndarray, gt_ins: np.ndarray,
+        coords: np.ndarray,
+    ) -> _SceneMatch:
+        """Axis-aligned 3D box-IoU matching (reference: scannetv2_inst_eval.py
+        :366-459): GT boxes from per-instance coordinate extents, preds carry
+        a (6,) min/max ``box``. Unmatched-pred bookkeeping uses
+        void_intersection=0 / vert_count=1 (the reference's box path never
+        sets these fields and would fault on them)."""
+        ids = self.encode_gt(gt_sem, gt_ins)
+        gts: Dict[str, List[_GtInstance]] = {lab: [] for lab in self.eval_class_labels}
+        uniq, counts = np.unique(ids, return_counts=True)
+        for uid, cnt in zip(uniq, counts):
+            if uid == 0:
+                continue
+            label_id = int(uid) // self.encode_value
+            if label_id not in self.id2label:
+                continue
+            sel = ids == uid
+            box = np.concatenate([coords[sel].min(0), coords[sel].max(0)])
+            inst = _GtInstance(instance_id=int(uid), label_id=label_id,
+                               vert_count=int(cnt), box=box)
+            key = self.id2label[label_id] if self.use_label else self.eval_class_labels[0]
+            gts[key].append(inst)
+
+        preds_out: Dict[str, List[_PredInstance]] = {lab: [] for lab in self.eval_class_labels}
+        num_pred = 0
+        for pred in preds:
+            if self.use_label:
+                label_id = int(pred["label_id"])
+                if label_id not in self.id2label:
+                    continue
+                key = self.id2label[label_id]
+            else:
+                label_id, key = None, self.eval_class_labels[0]
+            box = np.asarray(pred["box"], np.float64)
+            pred_vol = float(np.prod(np.clip(box[3:] - box[:3], 0, None)))
+            rec = _PredInstance(
+                pred_key=f"{pred.get('scan_id', '')}_{num_pred}",
+                label_id=label_id, vert_count=1, confidence=float(pred["conf"]),
+                void_intersection=0,
+            )
+            for gt in gts[key]:
+                lo = np.maximum(gt.box[:3], box[:3])
+                hi = np.minimum(gt.box[3:], box[3:])
+                inter = float(np.prod(np.clip(hi - lo, 0, None)))
+                if inter > 0:
+                    gt_vol = float(np.prod(np.clip(gt.box[3:] - gt.box[:3], 0, None)))
+                    iou = inter / (gt_vol + pred_vol - inter)
+                    gt.matched_preds.append((rec, inter, iou))
+                    rec.matched_gts.append((gt, inter, iou))
+            num_pred += 1
+            preds_out[key].append(rec)
+        return _SceneMatch(gts=gts, preds=preds_out)
+
+    def evaluate_box(
+        self, pred_list, gt_sem_list, gt_ins_list, coords_list, verbose: bool = True
+    ) -> Dict:
+        """Box-IoU AP over scenes (reference: scannetv2_inst_eval.py:608-636).
+        preds per scene: {scan_id, label_id, conf, box (6,) min/max corners}."""
+        scenes = [
+            self.assign_boxes_for_scan(pred_list[i], gt_sem_list[i], gt_ins_list[i],
+                                       coords_list[i])
+            for i in range(len(gt_sem_list))
+        ]
+        ap, rc = self.evaluate_matches(scenes)
+        avgs = self.compute_averages(ap, rc)
+        if verbose:
+            print(format_class_table(avgs, self.eval_class_labels))
+        return avgs
+
     # ----------------------------------------------------------- AP curves
-    def evaluate_matches(self, scenes: Sequence[_SceneMatch]):
+    def evaluate_matches(self, scenes: Sequence[_SceneMatch], collect_pr: bool = False):
         n_labels, n_ious = len(self.eval_class_labels), len(self.ious)
         ap = np.zeros((n_labels, n_ious))
         rc = np.zeros((n_labels, n_ious))
+        self.pr_curves: Dict = {}  # (label, iou_th) -> (precision, recall)
 
         for oi, iou_th in enumerate(self.ious):
             visited = {
@@ -228,9 +301,11 @@ class ScanNetEval:
                             y_score.append(pred.confidence)
 
                 if has_gt and has_pred:
-                    ap[li, oi], rc[li, oi] = _pr_integrate(
+                    ap[li, oi], rc[li, oi], curve = _pr_integrate(
                         np.asarray(y_true), np.asarray(y_score), hard_fn
                     )
+                    if collect_pr and curve is not None:
+                        self.pr_curves[(label, float(iou_th))] = curve
                 elif has_gt:
                     ap[li, oi] = rc[li, oi] = 0.0
                 else:
@@ -275,7 +350,7 @@ class ScanNetEval:
             self.assign_instances_for_scan(pred_list[i], gt_sem_list[i], gt_ins_list[i])
             for i in range(len(gt_sem_list))
         ]
-        ap, rc = self.evaluate_matches(scenes)
+        ap, rc = self.evaluate_matches(scenes, collect_pr=True)
         avgs = self.compute_averages(ap, rc)
         if exp_path:
             import os
@@ -318,7 +393,7 @@ def _pr_integrate(y_true: np.ndarray, y_score: np.ndarray, hard_fn: int):
     order = np.argsort(y_score)
     y_score, y_true = y_score[order], y_true[order]
     if y_true.size == 0:
-        return 0.0, 0.0
+        return 0.0, 0.0, None
     cum = np.cumsum(y_true)
     thresholds, first_idx = np.unique(y_score, return_index=True)
     n_curve = len(first_idx) + 1
@@ -339,7 +414,43 @@ def _pr_integrate(y_true: np.ndarray, y_score: np.ndarray, hard_fn: int):
     recall[-1] = 0.0
     r = np.concatenate([[recall[0]], recall, [0.0]])
     step_widths = np.convolve(r, [-0.5, 0, 0.5], "valid")
-    return float(np.dot(precision, step_widths)), float(rc_first)
+    return float(np.dot(precision, step_widths)), float(rc_first), (precision, recall)
+
+
+def plot_pr_curves(pr_curves: Dict, out_dir: str) -> List[str]:
+    """One PNG per class with all IoU thresholds' PR curves
+    (reference: scannetv2_inst_eval.py:462-492)."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    by_label: Dict[str, Dict] = {}
+    for (label, iou_th), curve in pr_curves.items():
+        by_label.setdefault(label, {})[iou_th] = curve
+    out = []
+    for label, curves in by_label.items():
+        fig = plt.figure(figsize=(6, 6))
+        for iou_th in sorted(curves):
+            precision, recall = curves[iou_th]
+            if len(precision) > 1:
+                plt.plot(recall, precision, marker="o", linestyle="-",
+                         markersize=2, label=f"IoU={iou_th:.2f}")
+        plt.xlabel("Recall")
+        plt.ylabel("Precision")
+        plt.title(f"Precision-Recall: {label}")
+        plt.xlim([0, 1])
+        plt.ylim([0, 1])
+        plt.grid(True)
+        plt.legend(loc="upper right", fontsize=7)
+        path = os.path.join(out_dir, f"{label.replace(' ', '_')}_pr_curve.png")
+        fig.savefig(path, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        out.append(path)
+    return out
 
 
 # ------------------------------------------------------------------ reports

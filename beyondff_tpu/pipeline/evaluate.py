@@ -75,6 +75,12 @@ def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None, ve
     update_results_table(
         os.path.join(cfg.paths.results_dir, "overall_results.txt"), class_name, avgs
     )
+    # per-class PR curves, like the reference's checked-in pr_curves/ pngs
+    curves = {k: v for k, v in ev.pr_curves.items() if k[0] == class_name}
+    if curves:
+        from beyondff_tpu.eval.instance_eval import plot_pr_curves
+
+        plot_pr_curves(curves, os.path.join(cfg.paths.results_dir, "pr_curves"))
     return avgs
 
 

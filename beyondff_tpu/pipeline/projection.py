@@ -133,8 +133,12 @@ def lift_scene(
     return membership, np.asarray(confs, np.float32), labels, masked_counts[:n], viewed_counts[:n]
 
 
-def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str] = None) -> Dict:
+def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str] = None,
+                  prof=None) -> Dict:
     """Run the full projection stage for one (class, scene); writes the output."""
+    from beyondff_tpu.utils.profiling import StageProfiler
+
+    prof = prof or StageProfiler("projection")
     ext = ext or cfg.output_format
     p = cfg.paths
     reader = build_dataset(p.dataset, os.path.join(p.scene_2d_dir, scene_id))
@@ -154,39 +158,43 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
 
     frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id, cfg.frames.downsample_ratio)
     frames = []
-    for fid in frame_ids:
-        f: Dict = {
-            "frame_id": fid,
-            "pose": reader.pose(fid),
-            "depth": reader.depth(fid, size=size),
-        }
-        rec = by_frame.get(fid)
-        if rec is not None:
-            masks = np.asarray(rec["segmented_frame_masks"])
-            f["masks"] = masks[:, 0].astype(bool)  # (M, H, W)
-            f["confidences"] = np.asarray(rec["confidences"], np.float32)
-            f["labels"] = list(rec["labels"])
-        frames.append(f)
+    with prof.span("frame_io", frames=len(frame_ids)):
+        for fid in frame_ids:
+            f: Dict = {
+                "frame_id": fid,
+                "pose": reader.pose(fid),
+                "depth": reader.depth(fid, size=size),
+            }
+            rec = by_frame.get(fid)
+            if rec is not None:
+                masks = np.asarray(rec["segmented_frame_masks"])
+                f["masks"] = masks[:, 0].astype(bool)  # (M, H, W)
+                f["confidences"] = np.asarray(rec["confidences"], np.float32)
+                f["labels"] = list(rec["labels"])
+            frames.append(f)
 
-    membership, confs, labels, masked_counts, viewed_counts = lift_scene(
-        pcd, cam_intr, frames, cfg.frames.depth_thresh
-    )
+    with prof.span("lift", frames=len(frames)):
+        membership, confs, labels, masked_counts, viewed_counts = lift_scene(
+            pcd, cam_intr, frames, cfg.frames.depth_thresh
+        )
 
     out_path = os.path.join(p.mask_3d_dir, class_name, f"{scene_id}.{ext}")
     if membership.shape[0] == 0:
         bio.save_stage_dict(out_path, np.zeros((0, pcd.shape[0]), bool), np.zeros(0, np.float32), [])
         return {"scene_id": scene_id, "instances": 0}
 
-    agg = aggregation.aggregate(
-        membership, confs, labels,
-        iou_thres=cfg.aggregation.iou_thres,
-        min_aggregated_masks=cfg.aggregation.min_aggregated_masks,
-    )
+    with prof.span("aggregate", instances=membership.shape[0]):
+        agg = aggregation.aggregate(
+            membership, confs, labels,
+            iou_thres=cfg.aggregation.iou_thres,
+            min_aggregated_masks=cfg.aggregation.min_aggregated_masks,
+        )
     if agg.empty:
         bio.save_stage_dict(out_path, np.zeros((0, pcd.shape[0]), bool), np.zeros(0, np.float32), [])
         return {"scene_id": scene_id, "instances": 0}
 
-    out = filtering.filter_masks(agg, masked_counts, viewed_counts, cfg.filtering)
+    with prof.span("filter"):
+        out = filtering.filter_masks(agg, masked_counts, viewed_counts, cfg.filtering)
     bio.save_stage_dict(out_path, out.ins, out.conf, out.labels)
     return {"scene_id": scene_id, "instances": int(out.ins.shape[0])}
 
@@ -199,11 +207,16 @@ def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None, re
         scenes = sorted(
             f.rsplit(".", 1)[0] for f in os.listdir(seg_dir) if f.endswith((".pth", ".npz"))
         )
+    from beyondff_tpu.utils.profiling import StageProfiler
+
+    prof = StageProfiler("projection")
     ckpt = SceneCheckpoint(cfg.paths.checkpoint_dir, "projection_2d_to_3d", class_name)
     results = []
     for scene_id in scenes:
         if resume and ckpt.done(scene_id):
             continue
-        results.append(project_scene(cfg, class_name, scene_id))
+        results.append(project_scene(cfg, class_name, scene_id, prof=prof))
         ckpt.mark(scene_id)
+    if results:
+        print(prof.report())
     return results

@@ -115,7 +115,14 @@ def load_intrinsic(path: str) -> np.ndarray:
 
 
 def load_depth(path: str, depth_scale: float = 1000.0, size: Optional[tuple] = None) -> np.ndarray:
-    """Metric depth map; optionally resized to (width, height) with cv2 bilinear."""
+    """Metric depth map; optionally resized to (width, height) with cv2-convention
+    bilinear. Uses the native C++ decoder when built (utils/native.py)."""
+    if size is not None:
+        from beyondff_tpu.utils import native
+
+        out = native.decode_depth_native(path, depth_scale, (size[1], size[0]))
+        if out is not None:
+            return out
     import cv2
 
     depth = cv2.imread(path, cv2.IMREAD_UNCHANGED)

@@ -1,0 +1,129 @@
+"""ctypes bindings for the C++ host runtime (native/bff_native.cpp).
+
+The library builds on demand with g++ (cached next to the source); every
+entry point has a pure-python fallback so the framework works without a
+toolchain. ``BFF_NO_NATIVE=1`` forces the fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                    "native", "bff_native.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "libbff_native.so")
+
+
+@functools.lru_cache(maxsize=1)
+def load_library() -> Optional[ctypes.CDLL]:
+    if os.environ.get("BFF_NO_NATIVE"):
+        return None
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+                 "-o", _SO, "-lz", "-lpthread"],
+                check=True, capture_output=True, timeout=180,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.bff_rle_decode_batch.restype = ctypes.c_int
+    lib.bff_rle_encode.restype = ctypes.c_int64
+    lib.bff_decode_depth.restype = ctypes.c_int
+    lib.bff_decode_depth_batch.restype = ctypes.c_int
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+# ------------------------------------------------------------------ RLE
+def rle_decode_batch_native(rles: Sequence[dict]) -> Optional[np.ndarray]:
+    """Dense (M, L) uint8 from RLE dicts; None if the library is unavailable
+    or the masks have mixed lengths."""
+    lib = load_library()
+    if lib is None or not rles:
+        return None
+    length = int(rles[0]["length"])
+    if any(int(r["length"]) != length for r in rles):
+        return None
+    counts = np.concatenate([np.asarray(r["counts"], np.int64) for r in rles])
+    offsets = np.zeros(len(rles) + 1, np.int64)
+    np.cumsum([len(np.asarray(r["counts"])) for r in rles], out=offsets[1:])
+    out = np.empty((len(rles), length), np.uint8)
+    rc = lib.bff_rle_decode_batch(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(rles), length,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
+
+
+def rle_encode_native(mask: np.ndarray) -> Optional[dict]:
+    lib = load_library()
+    if lib is None:
+        return None
+    mask = np.ascontiguousarray(np.asarray(mask, np.uint8).ravel())
+    out = np.empty(mask.size + 2, np.int64)
+    n = lib.bff_rle_encode(
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(mask.size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return {"length": int(mask.size), "counts": out[:n].copy()}
+
+
+# ------------------------------------------------------------------ depth
+def decode_depth_native(path: str, depth_scale: float, out_hw: tuple) -> Optional[np.ndarray]:
+    lib = load_library()
+    if lib is None:
+        return None
+    with open(path, "rb") as f:
+        blob = np.frombuffer(f.read(), np.uint8)
+    out = np.empty(out_hw, np.float32)
+    rc = lib.bff_decode_depth(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(blob.size), ctypes.c_float(depth_scale),
+        out_hw[0], out_hw[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out if rc == 0 else None
+
+
+def decode_depth_batch_native(paths: List[str], depth_scale: float, out_hw: tuple,
+                              n_threads: Optional[int] = None) -> Optional[np.ndarray]:
+    lib = load_library()
+    if lib is None:
+        return None
+    blobs = []
+    offsets = [0]
+    for p in paths:
+        with open(p, "rb") as f:
+            b = f.read()
+        blobs.append(b)
+        offsets.append(offsets[-1] + len(b))
+    blob = np.frombuffer(b"".join(blobs), np.uint8)
+    offs = np.asarray(offsets, np.int64)
+    out = np.empty((len(paths), *out_hw), np.float32)
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    rc = lib.bff_decode_depth_batch(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(paths), ctypes.c_float(depth_scale), out_hw[0], out_hw[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    return out if rc == 0 else None

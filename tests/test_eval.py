@@ -131,3 +131,34 @@ def test_parity_with_reference_engine(rng):
                 assert np.isnan(va)
             else:
                 np.testing.assert_allclose(va, vb, rtol=1e-10, err_msg=f"{lab}.{k}")
+
+
+def test_box_iou_evaluation(rng):
+    ev = ScanNetEval(LABELS)
+    n = 600
+    sem = np.zeros(n, np.int32)
+    ins = np.full(n, -100, np.int32)
+    coords = rng.uniform(0, 10, (n, 3))
+    # instance 0: chair occupying a known box
+    sem[:200] = 2  # label idx 0 -> benchmark offset
+    ins[:200] = 0
+    coords[:200] = rng.uniform([0, 0, 0], [1, 1, 1], (200, 3))
+    pred_box = np.array([0, 0, 0, 1, 1, 1], np.float64)
+    preds = [{"scan_id": "s", "label_id": 1, "conf": 0.9, "box": pred_box}]
+    avgs = ev.evaluate_box([preds], [sem], [ins], [coords], verbose=False)
+    assert avgs["classes"]["chair"]["ap50%"] > 0.9
+
+    # badly-placed box -> no AP50
+    preds2 = [{"scan_id": "s", "label_id": 1, "conf": 0.9,
+               "box": np.array([5, 5, 5, 6, 6, 6], np.float64)}]
+    avgs2 = ev.evaluate_box([preds2], [sem], [ins], [coords], verbose=False)
+    assert avgs2["classes"]["chair"]["ap50%"] == 0.0
+
+
+def test_pr_curves_collected(rng):
+    ev = ScanNetEval(LABELS)
+    preds, sem, ins = perfect_scene(rng)
+    ev.evaluate([preds], [sem], [ins], verbose=False)
+    assert len(ev.pr_curves) > 0
+    (label, iou_th), (precision, recall) = next(iter(ev.pr_curves.items()))
+    assert precision[-1] == 1.0 and recall[-1] == 0.0
