@@ -158,14 +158,15 @@ class CLIP:
         )
 
     @classmethod
-    def create(cls, name_or_cfg="ViT-L/14", seed: int = 0, dtype=jnp.float32) -> "CLIP":
+    def create(cls, name_or_cfg="ViT-L/14", seed: int = 0, dtype=jnp.float32,
+               device_fill: bool = False) -> "CLIP":
         from beyondff_tpu.models.init_utils import fast_init
 
         cfg = PRESETS[name_or_cfg] if isinstance(name_or_cfg, str) else name_or_cfg
         module = CLIPModule(cfg, dtype=dtype)
         dummy_img = jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3))
         dummy_tok = jnp.zeros((1, cfg.context_length), jnp.int32)
-        params = fast_init(module, dummy_img, dummy_tok, seed=seed)
+        params = fast_init(module, dummy_img, dummy_tok, seed=seed, device_fill=device_fill)
         return cls(cfg, params, dtype=dtype)
 
     def encode_image(self, images) -> jnp.ndarray:

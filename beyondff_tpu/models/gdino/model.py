@@ -328,7 +328,8 @@ class GroundingDINO:
         )
 
     @classmethod
-    def create(cls, name_or_cfg="swinb", tokenizer=None, seed: int = 0, dtype=jnp.float32):
+    def create(cls, name_or_cfg="swinb", tokenizer=None, seed: int = 0, dtype=jnp.float32,
+               device_fill: bool = False):
         from beyondff_tpu.models.init_utils import fast_init
 
         cfg = PRESETS[name_or_cfg] if isinstance(name_or_cfg, str) else name_or_cfg
@@ -343,6 +344,7 @@ class GroundingDINO:
             jnp.ones((1, t), bool),
             jnp.zeros((1, t), jnp.int32),
             seed=seed,
+            device_fill=device_fill,
         )
         if tokenizer is None:
             from beyondff_tpu.models.tokenizers import HashTokenizer

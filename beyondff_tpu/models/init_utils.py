@@ -14,8 +14,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def fast_init(module, *args, seed: int = 0, scale: float = 0.1, method=None, **kwargs):
-    """Param tree with the same structure/shapes/dtypes as ``module.init``."""
+def fast_init(module, *args, seed: int = 0, scale: float = 0.1, method=None,
+              device_fill: bool = False, **kwargs):
+    """Param tree with the same structure/shapes/dtypes as ``module.init``.
+
+    ``device_fill=True`` materializes the leaves directly on the default
+    device with deterministic cheap fills (no host RNG, no bulk host->device
+    transfer) — the right mode for benchmarking multi-GB models over
+    low-bandwidth device links. Values are structured (ones/zeros for norm
+    stats, small constants elsewhere); compute cost is identical to real
+    weights since params are runtime inputs to the compiled programs.
+    """
     shapes = jax.eval_shape(
         lambda *a: module.init(jax.random.PRNGKey(0), *a, method=method, **kwargs), *args
     )
@@ -31,6 +40,8 @@ def fast_init(module, *args, seed: int = 0, scale: float = 0.1, method=None, **k
             return jnp.ones(leaf.shape, leaf.dtype)
         if leafname in ("mean", "bias"):
             return jnp.zeros(leaf.shape, leaf.dtype)
+        if device_fill:
+            return jnp.full(leaf.shape, 0.02, leaf.dtype)
         arr = rng.standard_normal(leaf.shape, dtype=np.float32) * scale
         return jnp.asarray(arr, leaf.dtype)
 

@@ -370,16 +370,18 @@ class SAM:
         self._decode = jax.jit(lambda p, e, b: self.module.apply(p, e, b, method=SAMModule.decode_boxes))
 
     @classmethod
-    def create(cls, name_or_cfg="vit_h", seed: int = 0, dtype=jnp.float32) -> "SAM":
+    def create(cls, name_or_cfg="vit_h", seed: int = 0, dtype=jnp.float32,
+               device_fill: bool = False) -> "SAM":
         from beyondff_tpu.models.init_utils import fast_init
 
         cfg = PRESETS[name_or_cfg] if isinstance(name_or_cfg, str) else name_or_cfg
         module = SAMModule(cfg, dtype=dtype)
         s = cfg.img_size
         g = s // cfg.patch_size
-        params = fast_init(module, jnp.zeros((1, s, s, 3)), seed=seed, method=SAMModule.encode)
+        params = fast_init(module, jnp.zeros((1, s, s, 3)), seed=seed, method=SAMModule.encode,
+                           device_fill=device_fill)
         dec = fast_init(module, jnp.zeros((g, g, cfg.prompt_dim)), jnp.zeros((1, 4)),
-                        seed=seed + 1, method=SAMModule.decode_boxes)
+                        seed=seed + 1, method=SAMModule.decode_boxes, device_fill=device_fill)
         params = {"params": {**dec["params"], **params["params"]}}
         return cls(cfg, params, dtype=dtype)
 
