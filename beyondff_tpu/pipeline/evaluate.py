@@ -21,19 +21,46 @@ from beyondff_tpu.eval import ScanNetEval
 from beyondff_tpu.utils import io as bio
 
 
-def load_gt_scene(gt_path: str) -> Dict:
-    """GT tuple -> remapped (sem, inst) int32 arrays (eval_scannet200.py:86-98)."""
+def load_gt_scene(gt_path: str, dataset: str = "scannet200") -> Dict:
+    """GT tuple -> (sem, inst) int32 arrays. ScanNet raw semantic ids are
+    remapped through the benchmark table (eval_scannet200.py:86-98); other
+    datasets' GT semantics are already class indices."""
     import torch
 
     loader = torch.load(gt_path, map_location="cpu", weights_only=False)
     sem_raw, inst = np.asarray(loader[2]), np.asarray(loader[3])
-    sem = np.array([scannet200.benchmark_index(int(s)) for s in sem_raw], dtype=np.int32)
+    if dataset.lower() in ("scannet200", "scannet"):
+        sem = np.array([scannet200.benchmark_index(int(s)) for s in sem_raw], dtype=np.int32)
+    else:
+        sem = sem_raw.astype(np.int32)
     return {"sem": sem, "inst": inst.astype(np.int32)}
 
 
-def predictions_for_scene(final_path: str, scene_id: str) -> List[Dict]:
+def class_table(dataset: str):
+    """(labels, eval dataset_name) per supported dataset."""
+    d = dataset.lower()
+    if d in ("scannet200", "scannet"):
+        return scannet200.INSTANCE_CAT_SCANNET_200, "scannet200"
+    if d == "scannetpp":
+        from beyondff_tpu.data import scannetpp
+
+        return scannetpp.INSTANCE_CAT_SCANNET_PP, "scannetpp"
+    if d == "replica":
+        from beyondff_tpu.data import replica
+
+        return replica.INSTANCE_CAT_REPLICA, "replica"
+    if d == "s3dis":
+        from beyondff_tpu.data import s3dis
+
+        return s3dis.INSTANCE_CAT_S3DIS, "s3dis"
+    raise ValueError(f"unknown dataset {dataset!r}")
+
+
+def predictions_for_scene(final_path: str, scene_id: str,
+                          labels_table=None) -> List[Dict]:
     """Final stage output -> evaluator records; conf forced to 1.0
     (eval_scannet200.py:120-133)."""
+    labels_table = labels_table or scannet200.INSTANCE_CAT_SCANNET_200
     d = bio.load_stage_dict(final_path)
     masks = np.asarray(d["ins"])
     labels = d["final_class"]
@@ -45,7 +72,7 @@ def predictions_for_scene(final_path: str, scene_id: str) -> List[Dict]:
         preds.append(
             {
                 "scan_id": scene_id,
-                "label_id": scannet200.instance_index(str(labels[k])) + 1,
+                "label_id": labels_table.index(str(labels[k]).lower()) + 1,
                 "conf": 1.0,
                 "pred_mask": np.asarray(mask).astype(np.uint8),
             }
@@ -59,22 +86,24 @@ def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None, ve
     if scenes is None:
         scenes = sorted(f.rsplit(".", 1)[0] for f in os.listdir(data_dir) if f.endswith((".pth", ".npz")))
 
+    labels_table, dataset_name = class_table(cfg.paths.dataset)
     gtsem, gtinst, res = [], [], []
     for scene_id in scenes:
-        gt = load_gt_scene(os.path.join(cfg.paths.gt_dir, f"{scene_id}.pth"))
+        gt = load_gt_scene(os.path.join(cfg.paths.gt_dir, f"{scene_id}.pth"), cfg.paths.dataset)
         gtsem.append(gt["sem"])
         gtinst.append(gt["inst"])
         for ext in (".pth", ".npz"):
             path = os.path.join(data_dir, scene_id + ext)
             if os.path.exists(path):
                 break
-        res.append(predictions_for_scene(path, scene_id))
+        res.append(predictions_for_scene(path, scene_id, labels_table))
 
-    ev = ScanNetEval(class_labels=scannet200.INSTANCE_CAT_SCANNET_200)
+    ev = ScanNetEval(class_labels=labels_table, dataset_name=dataset_name)
     avgs = ev.evaluate(res, gtsem, gtinst, exp_path=cfg.paths.results_dir, verbose=verbose)
-    update_results_table(
-        os.path.join(cfg.paths.results_dir, "overall_results.txt"), class_name, avgs
-    )
+    if dataset_name == "scannet200":
+        update_results_table(
+            os.path.join(cfg.paths.results_dir, "overall_results.txt"), class_name, avgs
+        )
     # per-class PR curves, like the reference's checked-in pr_curves/ pngs
     curves = {k: v for k, v in ev.pr_curves.items() if k[0] == class_name}
     if curves:

@@ -61,7 +61,7 @@ def lift_scene(
     frames: Sequence[Dict],  # per-frame: {frame_id, pose, depth, masks?, confidences?, labels?}
     depth_thresh: float = 0.08,
 ) -> Tuple[np.ndarray, np.ndarray, List[float], List[str], np.ndarray, np.ndarray]:
-    """Lift all frames of one scene.
+    """Lift all frames of one scene (pre-materialized frame list).
 
     ``frames`` entries with a "masks" key ((M, H, W) bool) contribute lifted
     instance masks; all entries contribute to ``viewed_counts``.
@@ -69,13 +69,24 @@ def lift_scene(
     Returns (membership (I, N) bool, confidences, labels, masked_counts,
     viewed_counts) where I = total detections across frames.
     """
+    det_ids = {f["frame_id"] for f in frames if f.get("masks") is not None and len(f["masks"])}
+    return lift_scene_streamed(pcd, cam_intr, iter(frames), det_ids, depth_thresh)
+
+
+def lift_scene_streamed(
+    pcd: np.ndarray,
+    cam_intr: np.ndarray,
+    frames_iter,
+    det_frame_ids,
+    depth_thresh: float = 0.08,
+) -> Tuple[np.ndarray, np.ndarray, List[float], List[str], np.ndarray, np.ndarray]:
+    """Streaming lift: consumes frames from an iterator (typically wrapped in
+    a background prefetcher) and dispatches fixed-shape device chunks as they
+    fill, so host IO overlaps device compute."""
     n = pcd.shape[0]
     pcd_h = _pad_points(geometry.homogenize(pcd))
     pcd_dev = jnp.asarray(pcd_h)
     n_pad = pcd_h.shape[1]
-
-    det_frames = [f for f in frames if f.get("masks") is not None and len(f["masks"])]
-    empty_frames = [f for f in frames if f.get("masks") is None or not len(f["masks"])]
 
     members: List[np.ndarray] = []
     confs: List[float] = []
@@ -83,9 +94,7 @@ def lift_scene(
     masked_counts = np.zeros(n_pad, np.int64)
     viewed_counts = np.zeros(n_pad, np.int64)
 
-    # --- detection frames: chunked fixed-shape lift -------------------------
-    for start in range(0, len(det_frames), FRAME_CHUNK):
-        chunk = det_frames[start : start + FRAME_CHUNK]
+    def flush_det(chunk: List[Dict]) -> None:
         f_pad = FRAME_CHUNK
         m_pad = _bucket(max(f["masks"].shape[0] for f in chunk))
         h, w = chunk[0]["depth"].shape
@@ -104,27 +113,44 @@ def lift_scene(
             jnp.asarray(valid), depth_thresh,
         )
         membership = np.asarray(membership)
-        masked_counts += np.asarray(mc, np.int64)
-        viewed_counts += np.asarray(vc, np.int64)
+        masked_counts[:] += np.asarray(mc, np.int64)
+        viewed_counts[:] += np.asarray(vc, np.int64)
         for i, f in enumerate(chunk):
             m_i = f["masks"].shape[0]
             members.append(membership[i, :m_i])
             confs.extend(float(c) for c in f["confidences"])
             labels.extend(f["labels"])
 
-    # --- detection-free frames: visibility only -----------------------------
-    for start in range(0, len(empty_frames), VIEW_CHUNK):
-        chunk = empty_frames[start : start + VIEW_CHUNK]
+    def flush_view(chunk: List[Dict]) -> None:
         h, w = chunk[0]["depth"].shape
         projs = np.zeros((VIEW_CHUNK, 3, 4), np.float32)
         depths = np.zeros((VIEW_CHUNK, h, w), np.float32)
         for i, f in enumerate(chunk):
             projs[i] = geometry.fuse_projection(cam_intr, f["pose"]).astype(np.float32)
             depths[i] = f["depth"]
-        viewed_counts += np.asarray(
+        viewed_counts[:] += np.asarray(
             geometry.view_counts(pcd_dev, jnp.asarray(projs), jnp.asarray(depths), depth_thresh),
             np.int64,
         )
+
+    det_buf: List[Dict] = []
+    view_buf: List[Dict] = []
+    for f in frames_iter:
+        has_masks = f.get("masks") is not None and len(f["masks"]) and f["frame_id"] in det_frame_ids
+        if has_masks:
+            det_buf.append(f)
+            if len(det_buf) == FRAME_CHUNK:
+                flush_det(det_buf)
+                det_buf = []
+        else:
+            view_buf.append(f)
+            if len(view_buf) == VIEW_CHUNK:
+                flush_view(view_buf)
+                view_buf = []
+    if det_buf:
+        flush_det(det_buf)
+    if view_buf:
+        flush_view(view_buf)
 
     if members:
         membership = np.concatenate(members)[:, :n]
@@ -157,25 +183,30 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
     by_frame = {str(r["frame_id"]).rsplit(".", 1)[0]: r for r in records}
 
     frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id, cfg.frames.downsample_ratio)
-    frames = []
-    with prof.span("frame_io", frames=len(frame_ids)):
-        for fid in frame_ids:
-            f: Dict = {
-                "frame_id": fid,
-                "pose": reader.pose(fid),
-                "depth": reader.depth(fid, size=size),
-            }
-            rec = by_frame.get(fid)
-            if rec is not None:
-                masks = np.asarray(rec["segmented_frame_masks"])
-                f["masks"] = masks[:, 0].astype(bool)  # (M, H, W)
-                f["confidences"] = np.asarray(rec["confidences"], np.float32)
-                f["labels"] = list(rec["labels"])
-            frames.append(f)
 
-    with prof.span("lift", frames=len(frames)):
-        membership, confs, labels, masked_counts, viewed_counts = lift_scene(
-            pcd, cam_intr, frames, cfg.frames.depth_thresh
+    def load_frame(fid: str) -> Dict:
+        f: Dict = {
+            "frame_id": fid,
+            "pose": reader.pose(fid),
+            "depth": reader.depth(fid, size=size),
+        }
+        rec = by_frame.get(fid)
+        if rec is not None:
+            masks = np.asarray(rec["segmented_frame_masks"])
+            f["masks"] = masks[:, 0].astype(bool)  # (M, H, W)
+            f["confidences"] = np.asarray(rec["confidences"], np.float32)
+            f["labels"] = list(rec["labels"])
+        return f
+
+    with prof.span("lift", frames=len(frame_ids)):
+        # frames stream through a background loader thread (utils/prefetch)
+        # while the device lifts the previous chunk
+        from beyondff_tpu.utils.prefetch import prefetch_map
+
+        frames_iter = prefetch_map(load_frame, frame_ids,
+                                   depth=max(1, cfg.parallel.prefetch_depth) * FRAME_CHUNK)
+        membership, confs, labels, masked_counts, viewed_counts = lift_scene_streamed(
+            pcd, cam_intr, frames_iter, set(by_frame), cfg.frames.depth_thresh
         )
 
     out_path = os.path.join(p.mask_3d_dir, class_name, f"{scene_id}.{ext}")

@@ -58,3 +58,19 @@ def test_projection_resume(scene_cfg):
     # second run with resume: all scenes checkpointed -> no work
     results = projection.run(scene_cfg, "clothes", resume=True)
     assert results == []
+
+
+def test_prefetch_utils():
+    from beyondff_tpu.utils.prefetch import prefetch, prefetch_map
+
+    assert list(prefetch(range(10), depth=3)) == list(range(10))
+    assert list(prefetch_map(lambda x: x * 2, range(5))) == [0, 2, 4, 6, 8]
+    # exceptions propagate
+    def bad():
+        yield 1
+        raise ValueError("boom")
+    import pytest as _pytest
+    it = prefetch(bad(), depth=2)
+    assert next(it) == 1
+    with _pytest.raises(ValueError):
+        next(it)
