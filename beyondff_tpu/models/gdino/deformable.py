@@ -40,10 +40,13 @@ def ms_deform_attn(
     for s in sizes[:-1]:
         offsets.append(offsets[-1] + s)
 
+    p_pts = sampling_locs.shape[4]
     out = jnp.zeros((b, q, heads, head_dim), value.dtype)
     for li, (h, w) in enumerate(spatial_shapes):
         v = jax.lax.dynamic_slice_in_dim(value, offsets[li], sizes[li], axis=1)
-        v = v.reshape(b, h, w, heads, head_dim)
+        # (B*heads, H, W, hd): one patch gather fetches all 4 bilinear corners
+        vm = v.reshape(b, h, w, heads, head_dim).transpose(0, 3, 1, 2, 4)
+        vm = vm.reshape(b * heads, h, w, head_dim)
         # locations for this level: (B, Q, heads, points, 2) in [0,1]
         loc = sampling_locs[:, :, :, li]
         # align_corners=False convention: x*W - 0.5
@@ -51,45 +54,42 @@ def ms_deform_attn(
         gy = loc[..., 1] * h - 0.5
         x0 = jnp.floor(gx)
         y0 = jnp.floor(gy)
-        fx = gx - x0
-        fy = gy - y0
+        fx = (gx - x0)[..., None]
+        fy = (gy - y0)[..., None]
 
-        flat = v.reshape(b, h * w, heads, head_dim)
+        # 2x2 patch gather over a zero-padded map: one gather fetches all four
+        # bilinear corners exactly (the original op zero-pads outside the map;
+        # out-of-map corner weights are additionally zeroed below, so points
+        # sampling far outside contribute nothing either way).
+        vm = jnp.pad(vm, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        xi = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1  # shift into padded frame
+        yi = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
+        starts = jnp.stack([yi, xi], -1).transpose(0, 2, 1, 3, 4)
+        starts = starts.reshape(b * heads, q * p_pts, 2)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(2, 3, 4), collapsed_slice_dims=(),
+            start_index_map=(1, 2),
+            operand_batching_dims=(0,), start_indices_batching_dims=(0,),
+        )
+        g = jax.lax.gather(vm, starts, dn, slice_sizes=(1, 2, 2, head_dim), mode="clip")
+        g = g.reshape(b, heads, q, p_pts, 2, 2, head_dim).transpose(0, 2, 1, 3, 4, 5, 6)
 
-        def gather(yi, xi):
-            # zero padding outside the map
-            inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-            xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-            yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-            g = _gather_bhqp(flat, yc * w + xc)  # (B, Q, heads, P, hd)
-            return jnp.where(inside[..., None], g, 0.0)
+        def corner_w(dx, dy):
+            wx = fx if dx else (1 - fx)
+            wy = fy if dy else (1 - fy)
+            inside = ((x0 + dx >= 0) & (x0 + dx < w) & (y0 + dy >= 0) & (y0 + dy < h))
+            return wx * wy * inside[..., None]
 
-        g00 = gather(y0, x0)
-        g01 = gather(y0, x0 + 1)
-        g10 = gather(y0 + 1, x0)
-        g11 = gather(y0 + 1, x0 + 1)
-        fx = fx[..., None]
-        fy = fy[..., None]
         sampled = (
-            g00 * (1 - fx) * (1 - fy)
-            + g01 * fx * (1 - fy)
-            + g10 * (1 - fx) * fy
-            + g11 * fx * fy
+            g[..., 0, 0, :] * corner_w(0, 0)
+            + g[..., 0, 1, :] * corner_w(1, 0)
+            + g[..., 1, 0, :] * corner_w(0, 1)
+            + g[..., 1, 1, :] * corner_w(1, 1)
         )  # (B, Q, heads, P, hd)
         wgt = attention_weights[:, :, :, li][..., None]
         out = out + jnp.sum(sampled * wgt, axis=3)
 
     return out.reshape(b, q, heads * head_dim)
-
-
-def _gather_bhqp(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """flat: (B, HW, heads, hd); idx: (B, Q, heads, P) -> (B, Q, heads, P, hd)."""
-    b, hw, heads, hd = flat.shape
-    _, q, _, p = idx.shape
-    fv = flat.transpose(0, 2, 1, 3)  # (B, heads, HW, hd)
-    ii = idx.transpose(0, 2, 1, 3).reshape(b, heads, q * p)  # (B, heads, Q*P)
-    g = jnp.take_along_axis(fv, ii[..., None], axis=2)  # (B, heads, Q*P, hd)
-    return g.reshape(b, heads, q, p, hd).transpose(0, 2, 1, 3, 4)
 
 
 class MSDeformAttn(nn.Module):

@@ -93,6 +93,70 @@ def run(
     return results
 
 
+def run_multi(
+    cfg: Config,
+    class_names: Sequence[str],
+    sim: Optional[TextSimilarity] = None,
+) -> Dict[str, List[Dict]]:
+    """Multi-query batched refinement (BASELINE.json config[4] stretch).
+
+    Scene-major: each scene's stage-1 masks are loaded and RLE-decoded ONCE
+    and shared across every query — the reference re-reads and re-decodes
+    them per class (refinement.py:182-193) — and the CLIP text encoder's
+    per-string cache is shared across the whole batch of queries.
+    """
+    p = cfg.paths
+    sim = sim or build_text_similarity(cfg)
+
+    # scene -> classes that produced stage-2 output for it
+    per_scene: Dict[str, List[str]] = {}
+    for cls in class_names:
+        d = os.path.join(p.mask_3d_dir, cls)
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            if f.endswith((".pth", ".npz")):
+                per_scene.setdefault(f.rsplit(".", 1)[0], []).append(cls)
+
+    matches: Dict[str, List] = {cls: [] for cls in class_names}
+    kept: Dict[str, List[str]] = {cls: [] for cls in class_names}
+    for scene_id in sorted(per_scene):
+        stage1_path = _find(os.path.join(p.stage_1_results_dir, scene_id))
+        if stage1_path is None:
+            continue
+        stage1 = decode_stage1(bio.load_stage_dict(stage1_path))  # decoded once
+        for cls in per_scene[scene_id]:
+            stage2_path = _find(os.path.join(p.mask_3d_dir, cls, scene_id))
+            stage2 = bio.load_stage_dict(stage2_path)
+            s2_ins = np.asarray(stage2["ins"]).astype(bool)
+            if s2_ins.ndim != 2 or s2_ins.shape[0] == 0 or s2_ins.size == 0:
+                s2_ins = np.zeros((0, stage1["ins"].shape[1]), bool)
+            m = refine.match_scene(
+                stage1["ins"], stage1["final_class"], s2_ins,
+                np.asarray(stage2["conf"], np.float32).reshape(-1),
+                cls.replace(" ", "_"),
+                stage1_iou_thres=cfg.refinement.stage1_iou_thres,
+            )
+            m.similarities = [float(sim(cls, lab)) for lab in m.matched_labels]
+            matches[cls].append(m)
+            kept[cls].append(scene_id)
+
+    results: Dict[str, List[Dict]] = {}
+    for cls in class_names:
+        thres = refine.select_sim_threshold(
+            [m.similarities for m in matches[cls]], cfg.refinement.sim_percentile)
+        out = []
+        for scene_id, m in zip(kept[cls], matches[cls]):
+            ins, conf, labels = refine.fuse_scene(m, cls, thres, cfg.refinement.iou_thres)
+            bio.save_stage_dict(
+                os.path.join(p.final_output_dir, cls, f"{scene_id}.{cfg.output_format}"),
+                ins, conf, labels)
+            out.append({"scene_id": scene_id, "instances": int(ins.shape[0]),
+                        "sim_thres": thres})
+        results[cls] = out
+    return results
+
+
 def _find(path_no_ext: str) -> Optional[str]:
     for ext in (".pth", ".npz"):
         if os.path.exists(path_no_ext + ext):

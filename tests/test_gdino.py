@@ -69,3 +69,30 @@ def test_high_threshold_filters(tiny_gdino):
     img = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
     boxes, scores, _ = tiny_gdino.predict(img, "clothes", box_threshold=1.0)
     assert boxes.shape[0] == 0 and scores.shape[0] == 0
+
+
+def test_ms_deform_attn_out_of_bounds_zero():
+    """Points sampling outside the map contribute zero (zero-padding semantics)."""
+    h, w = 4, 4
+    val = np.ones((1, h * w, 1, 2), np.float32) * 5.0
+    loc = np.zeros((1, 3, 1, 1, 1, 2), np.float32)
+    loc[0, 0, ..., 0], loc[0, 0, ..., 1] = -0.5, 0.5   # far left
+    loc[0, 1, ..., 0], loc[0, 1, ..., 1] = 0.5, 1.5    # far below
+    loc[0, 2, ..., 0], loc[0, 2, ..., 1] = 0.5, 0.5    # center (valid)
+    wgt = np.ones((1, 3, 1, 1, 1), np.float32)
+    out = np.asarray(ms_deform_attn(jnp.asarray(val), [(h, w)], jnp.asarray(loc), jnp.asarray(wgt)))
+    np.testing.assert_allclose(out[0, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(out[0, 1], 0.0, atol=1e-6)
+    np.testing.assert_allclose(out[0, 2], 5.0, rtol=1e-5)
+
+
+def test_ms_deform_attn_edge_pixel_exact():
+    """Sampling exactly at the last row/column's center uses that pixel."""
+    h, w = 3, 5
+    val = np.arange(h * w, dtype=np.float32).reshape(1, h * w, 1, 1)
+    loc = np.zeros((1, 1, 1, 1, 1, 2), np.float32)
+    loc[..., 0] = (w - 1 + 0.5) / w   # last column center
+    loc[..., 1] = (h - 1 + 0.5) / h   # last row center
+    wgt = np.ones((1, 1, 1, 1, 1), np.float32)
+    out = np.asarray(ms_deform_attn(jnp.asarray(val), [(h, w)], jnp.asarray(loc), jnp.asarray(wgt)))
+    np.testing.assert_allclose(out[0, 0, 0], h * w - 1, rtol=1e-5)

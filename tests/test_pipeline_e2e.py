@@ -74,3 +74,20 @@ def test_prefetch_utils():
     assert next(it) == 1
     with _pytest.raises(ValueError):
         next(it)
+
+
+def test_refinement_multi_query_matches_single(scene_cfg):
+    from beyondff_tpu.pipeline import refinement as refn
+
+    single = refn.run(scene_cfg, "clothes")
+    import shutil
+    single_out = bio.load_stage_dict(
+        os.path.join(scene_cfg.paths.final_output_dir, "clothes", "scene0000_00.pth"))
+    shutil.rmtree(os.path.join(scene_cfg.paths.final_output_dir, "clothes"))
+
+    multi = refn.run_multi(scene_cfg, ["clothes"])
+    multi_out = bio.load_stage_dict(
+        os.path.join(scene_cfg.paths.final_output_dir, "clothes", "scene0000_00.pth"))
+    np.testing.assert_array_equal(np.asarray(single_out["ins"]), np.asarray(multi_out["ins"]))
+    np.testing.assert_allclose(np.asarray(single_out["conf"]), np.asarray(multi_out["conf"]))
+    assert multi["clothes"][0]["instances"] == single[0]["instances"]
