@@ -46,6 +46,7 @@ class SAMConfig:
     decoder_mlp_dim: int = 2048
     num_multimask_outputs: int = 3
     use_rel_pos: bool = True  # False for plain-ViT encoders (EfficientSAM)
+    softmax_f32: bool = True  # False: keep attention softmax in compute dtype
 
 
 PRESETS = {
@@ -91,6 +92,7 @@ class ViTAttention(nn.Module):
     num_heads: int
     use_rel_pos: bool = True
     input_hw: Tuple[int, int] = (14, 14)
+    softmax_f32: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -120,7 +122,12 @@ class ViTAttention(nn.Module):
             rel_w = self.param("rel_pos_w", nn.initializers.zeros, (2 * w - 1, head_dim))
             logits = logits + _rel_pos_bias((h, w), (h, w), rel_h.astype(self.dtype),
                                             rel_w.astype(self.dtype), q)
-        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if self.softmax_f32:
+            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        else:
+            # bf16 softmax halves the HBM traffic of the (L, L) score maps;
+            # inference-quality accurate for SAM's short windows
+            attn = jax.nn.softmax(logits, axis=-1)
         out = (attn @ v).reshape(b, self.num_heads, h * w, head_dim)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
@@ -130,6 +137,7 @@ class ViTBlock(nn.Module):
     num_heads: int
     window_size: int  # 0 -> global attention
     use_rel_pos: bool = True
+    softmax_f32: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -143,7 +151,7 @@ class ViTBlock(nn.Module):
         else:
             hw = (h0, w0)
         x = ViTAttention(self.num_heads, use_rel_pos=self.use_rel_pos, input_hw=hw,
-                         dtype=self.dtype, name="attn")(x)
+                         softmax_f32=self.softmax_f32, dtype=self.dtype, name="attn")(x)
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, padded, (h0, w0))
         x = shortcut + x
@@ -166,7 +174,7 @@ class ImageEncoder(nn.Module):
         for i in range(c.encoder_depth):
             win = 0 if i in c.global_attn_indexes else c.window_size
             x = ViTBlock(c.encoder_heads, win, use_rel_pos=c.use_rel_pos,
-                         dtype=self.dtype, name=f"block{i}")(x)
+                         softmax_f32=c.softmax_f32, dtype=self.dtype, name=f"block{i}")(x)
         # neck: 1x1 conv -> LN -> 3x3 conv -> LN, to prompt_dim channels
         x = nn.Conv(c.prompt_dim, (1, 1), use_bias=False, dtype=self.dtype, name="neck_conv1")(x)
         x = nn.LayerNorm(dtype=self.dtype, name="neck_ln1")(x)
