@@ -373,6 +373,16 @@ class GroundingDINO:
 
         Returns (boxes (K, 4) cxcywh normalized, scores (K,), phrases list).
         """
+        return self.predict_batch([image], caption, box_threshold, text_threshold)[0]
+
+    def predict_batch(self, images, caption: str,
+                      box_threshold: float = 0.35, text_threshold: float = 0.25):
+        """Batched detection over frames sharing one caption — the pipeline's
+        per-frame loop collapses into one device dispatch per frame batch
+        (the reference runs its detector strictly one frame at a time,
+        segmentation_2d.py:243-270).
+
+        Returns a list of (boxes, scores, phrases) per image."""
         caption = self.preprocess_caption(caption)
         enc = self.tokenizer([caption])
         ids = enc["input_ids"][:, : self.cfg.max_text_len]
@@ -380,20 +390,25 @@ class GroundingDINO:
         special = getattr(self.tokenizer, "special_ids", None) or self._special_ids()
         self_mask, pos_ids = bert_mod.subsentence_masks(
             ids, special, self._cls_id(), self._sep_id())
-        img = self.preprocess_image(image)
-        logits, boxes = self._forward(self.params, jnp.asarray(img), jnp.asarray(ids),
-                                      jnp.asarray(self_mask), jnp.asarray(pad),
-                                      jnp.asarray(pos_ids))
-        probs = jax.nn.sigmoid(np.asarray(logits[0], np.float32))  # (Q, T)
-        probs = np.asarray(probs)
-        scores = probs.max(axis=1)
-        keep = scores > box_threshold
-        boxes = np.asarray(boxes[0], np.float32)[keep]
-        kept_probs = probs[keep]
-        phrases = [
-            self._phrase_from_posmap(p > text_threshold, ids[0]) for p in kept_probs
-        ]
-        return boxes, scores[keep], phrases
+        b = len(images)
+        img = np.concatenate([self.preprocess_image(im) for im in images], axis=0)
+        tile = lambda x: np.broadcast_to(x, (b, *x.shape[1:]))
+        logits, boxes = self._forward(
+            self.params, jnp.asarray(img), jnp.asarray(tile(ids)),
+            jnp.asarray(tile(self_mask)), jnp.asarray(tile(pad)),
+            jnp.asarray(tile(pos_ids)))
+        probs = np.asarray(jax.nn.sigmoid(np.asarray(logits, np.float32)))  # (B, Q, T)
+        boxes = np.asarray(boxes, np.float32)
+        out = []
+        for i in range(b):
+            scores = probs[i].max(axis=1)
+            keep = scores > box_threshold
+            phrases = [
+                self._phrase_from_posmap(p > text_threshold, ids[0])
+                for p in probs[i][keep]
+            ]
+            out.append((boxes[i][keep], scores[keep], phrases))
+        return out
 
     def _phrase_from_posmap(self, posmap: np.ndarray, ids: np.ndarray) -> str:
         toks = [self.tokenizer.decode_token(i) for i in ids[np.flatnonzero(posmap)]]

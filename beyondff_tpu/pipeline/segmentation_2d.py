@@ -149,15 +149,13 @@ class Segmentor2D:
         sims = feats @ self.query_embedding(query)
         return sims >= self.cfg.detector.similarity_threshold, sims
 
-    # ------------------------------------------------------------ per frame
-    def process_frame(self, image: np.ndarray, query: str) -> Optional[Dict]:
-        """One RGB frame -> detection record or None (no boxes)."""
+    # --------------------------------------------------------- detection
+    def _detect_and_filter(self, image: np.ndarray, query: str, detection):
+        """Phrase filter + CLIP supervision + top-K for one frame's raw
+        detections. Returns (boxes_xyxy, scores, phrases) or None."""
         d = self.cfg.detector
         h, w = image.shape[:2]
-
-        boxes, scores, phrases = self.detector.predict(
-            image, query, box_threshold=d.box_threshold, text_threshold=d.text_threshold
-        )
+        boxes, scores, phrases = detection
         if d.must_match_query and len(phrases):
             keep = np.array([query in p for p in phrases], bool)
             boxes, scores = boxes[keep], scores[keep]
@@ -178,35 +176,95 @@ class Segmentor2D:
             boxes_xyxy = boxes_xyxy[order]
             scores = np.asarray(scores)[order]
             phrases = [phrases[i] for i in order]
+        return boxes_xyxy, np.asarray(scores), phrases
 
-        # SAM decode: whole frame's boxes as one batch
-        x, input_hw = self.sam.preprocess(image[None])
-        emb = np.asarray(self.sam.encode_image(x))[0]
-        sam_boxes = self.sam.transform_boxes(boxes_xyxy, (h, w))
-        low_res, _ = self.sam.decode_boxes(emb, sam_boxes)
-        masks = self.sam.postprocess_masks(low_res, input_hw, (h, w))  # (M, H, W)
+    def _segment_frames(self, images: List[np.ndarray], dets: List) -> List[np.ndarray]:
+        """Box-prompted SAM over several frames: one batched image encode,
+        per-frame decode with box counts padded to ``max_detections`` so a
+        single compiled decode program serves every frame."""
+        d = self.cfg.detector
+        h, w = images[0].shape[:2]
+        x, input_hw = self.sam.preprocess(np.stack(images))
+        embs = np.asarray(self.sam.encode_image(x))
+        out = []
+        for i, (boxes_xyxy, _scores, _phrases) in enumerate(dets):
+            m = boxes_xyxy.shape[0]
+            padded = np.zeros((d.max_detections, 4), np.float32)
+            padded[:m] = self.sam.transform_boxes(boxes_xyxy, (h, w))
+            low_res, _ = self.sam.decode_boxes(embs[i], padded)
+            masks = self.sam.postprocess_masks(low_res[:m], input_hw, (h, w))
+            out.append(masks)
+        return out
 
+    # ------------------------------------------------------------ per frame
+    def process_frame(self, image: np.ndarray, query: str) -> Optional[Dict]:
+        """One RGB frame -> detection record or None (no boxes)."""
+        d = self.cfg.detector
+        det = self.detector.predict(image, query, box_threshold=d.box_threshold,
+                                    text_threshold=d.text_threshold)
+        filtered = self._detect_and_filter(image, query, det)
+        if filtered is None:
+            return None
+        masks = self._segment_frames([image], [filtered])[0]
         return {
             "segmented_frame_masks": masks[:, None].astype(bool),  # (M, 1, H, W)
-            "confidences": [float(s) for s in np.asarray(scores)],
-            "labels": list(phrases),
+            "confidences": [float(s) for s in filtered[1]],
+            "labels": list(filtered[2]),
         }
 
     # ------------------------------------------------------------ per scene
     def process_scene(self, scene_id: str, query: str) -> List[Dict]:
+        """All frames of a scene, batched ``detector.frame_batch`` at a time
+        through the detector and SAM encoder, with prefetched image loading."""
         p = self.cfg.paths
+        d = self.cfg.detector
         size = (self.cfg.frames.width_2d, self.cfg.frames.height_2d)
         frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id,
                                           self.cfg.frames.downsample_ratio)
-        records = []
-        for fid in frame_ids:
-            img = bio.load_image(
-                os.path.join(p.scene_2d_dir, scene_id, "color", f"{fid}.jpg"), size=size
-            )
-            rec = self.process_frame(img, query)
-            if rec is not None:
-                rec["frame_id"] = f"{fid}.jpg"
-                records.append(rec)
+
+        def load(fid):
+            return fid, bio.load_image(
+                os.path.join(p.scene_2d_dir, scene_id, "color", f"{fid}.jpg"), size=size)
+
+        from beyondff_tpu.utils.prefetch import prefetch_map
+
+        batched = hasattr(self.detector, "predict_batch")
+        records: List[Dict] = []
+        buf: List = []
+
+        def flush():
+            if not buf:
+                return
+            fids, images = zip(*buf)
+            if batched:
+                raw = self.detector.predict_batch(
+                    list(images), query, box_threshold=d.box_threshold,
+                    text_threshold=d.text_threshold)
+            else:
+                raw = [self.detector.predict(im, query, box_threshold=d.box_threshold,
+                                             text_threshold=d.text_threshold)
+                       for im in images]
+            kept = []
+            for fid, image, det in zip(fids, images, raw):
+                filtered = self._detect_and_filter(image, query, det)
+                if filtered is not None:
+                    kept.append((fid, image, filtered))
+            if kept:
+                masks = self._segment_frames([k[1] for k in kept], [k[2] for k in kept])
+                for (fid, _img, (bx, scores, phrases)), m in zip(kept, masks):
+                    records.append({
+                        "frame_id": f"{fid}.jpg",
+                        "segmented_frame_masks": m[:, None].astype(bool),
+                        "confidences": [float(s) for s in scores],
+                        "labels": list(phrases),
+                    })
+            buf.clear()
+
+        for item in prefetch_map(load, frame_ids, depth=2 * max(1, d.frame_batch)):
+            buf.append(item)
+            if len(buf) == max(1, d.frame_batch):
+                flush()
+        flush()
         return records
 
 
