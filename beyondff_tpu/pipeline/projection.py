@@ -100,18 +100,30 @@ def lift_scene_streamed(
         h, w = chunk[0]["depth"].shape
         projs = np.zeros((f_pad, 3, 4), np.float32)
         depths = np.zeros((f_pad, h, w), np.float32)
-        masks = np.zeros((f_pad, m_pad, h * w), bool)
-        valid = np.zeros((f_pad, m_pad), bool)
         for i, f in enumerate(chunk):
             projs[i] = geometry.fuse_projection(cam_intr, f["pose"]).astype(np.float32)
             depths[i] = f["depth"]
-            m = f["masks"].reshape(f["masks"].shape[0], -1).astype(bool)
-            masks[i, : m.shape[0]] = m
-            valid[i, : m.shape[0]] = True
-        membership, mc, vc = geometry.lift_frames(
-            pcd_dev, jnp.asarray(projs), jnp.asarray(depths), jnp.asarray(masks),
-            jnp.asarray(valid), depth_thresh,
-        )
+        if m_pad <= 32:
+            # bit-packed path: one uint32 gather per point, 8-32x less traffic
+            packed = np.zeros((f_pad, h * w), np.uint32)
+            for i, f in enumerate(chunk):
+                packed[i] = geometry.pack_masks(
+                    f["masks"].reshape(f["masks"].shape[0], -1).astype(bool))
+            membership, mc, vc = geometry.lift_frames_packed(
+                pcd_dev, jnp.asarray(projs), jnp.asarray(depths), jnp.asarray(packed),
+                depth_thresh, n_masks=m_pad,
+            )
+        else:
+            masks = np.zeros((f_pad, m_pad, h * w), bool)
+            valid = np.zeros((f_pad, m_pad), bool)
+            for i, f in enumerate(chunk):
+                m = f["masks"].reshape(f["masks"].shape[0], -1).astype(bool)
+                masks[i, : m.shape[0]] = m
+                valid[i, : m.shape[0]] = True
+            membership, mc, vc = geometry.lift_frames(
+                pcd_dev, jnp.asarray(projs), jnp.asarray(depths), jnp.asarray(masks),
+                jnp.asarray(valid), depth_thresh,
+            )
         membership = np.asarray(membership)
         masked_counts[:] += np.asarray(mc, np.int64)
         viewed_counts[:] += np.asarray(vc, np.int64)

@@ -95,3 +95,29 @@ def test_mask_padding_flags(rng):
     member = np.asarray(membership[0])
     assert member[2].sum() == 0 and member[3].sum() == 0
     np.testing.assert_array_equal(np.asarray(counts), member.sum(0).astype(np.int32))
+
+
+def test_packed_lift_matches_unpacked(rng):
+    h, w, m, f = 32, 40, 5, 2
+    intr = np.array([[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1.0]])
+    pts = rng.uniform([-1, -1, 1.0], [1, 1, 4.0], size=(300, 3))
+    pcd_h = geometry.homogenize(pts)
+    projs = np.stack([geometry.fuse_projection(intr, np.eye(4)).astype(np.float32)] * f)
+    depths = rng.uniform(1, 4, (f, h, w)).astype(np.float32)
+    masks = rng.random((f, m, h * w)) < 0.4
+    packed = np.stack([geometry.pack_masks(mm) for mm in masks])
+
+    ref = geometry.lift_frames(jnp.asarray(pcd_h), jnp.asarray(projs), jnp.asarray(depths),
+                               jnp.asarray(masks), jnp.ones((f, m), bool))
+    out = geometry.lift_frames_packed(jnp.asarray(pcd_h), jnp.asarray(projs),
+                                      jnp.asarray(depths), jnp.asarray(packed), n_masks=m)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+
+
+def test_pack_masks_round_trip(rng):
+    masks = rng.random((7, 100)) < 0.5
+    packed = geometry.pack_masks(masks)
+    for i in range(7):
+        np.testing.assert_array_equal((packed >> np.uint32(i)) & 1, masks[i].astype(np.uint32))
