@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
@@ -347,8 +347,6 @@ class GroundingDINO:
             device_fill=device_fill,
         )
         if tokenizer is None:
-            from beyondff_tpu.models.tokenizers import HashTokenizer
-
             tokenizer = _HashBert(cfg.bert.vocab_size)
         return cls(cfg, params, tokenizer, dtype=dtype)
 

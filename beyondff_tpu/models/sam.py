@@ -16,9 +16,8 @@ hypernetwork mask heads. ``convert_torch_checkpoint`` maps the official
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,7 @@ Post-processing (sigmoid score threshold + class-agnostic NMS, reference
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -10,11 +10,7 @@ sequential per-frame accumulation (reference: tools/projection_2d_to_3d.py
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:

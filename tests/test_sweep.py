@@ -1,0 +1,70 @@
+"""Sweep orchestrator: stage ordering, resume, failure tolerance."""
+
+import pytest
+
+from beyondff_tpu.config import Config
+from beyondff_tpu.orchestration import SweepRunner, default_class_list
+
+
+@pytest.fixture
+def runner(tmp_path, monkeypatch):
+    cfg = Config()
+    r = SweepRunner(cfg, checkpoint_path=str(tmp_path / "ckpt.txt"))
+    calls = []
+
+    def fake_stage(stage, class_name):
+        calls.append((stage, class_name))
+        if class_name == "bad" and stage == "projection":
+            raise RuntimeError("boom")
+
+    monkeypatch.setattr(r, "_run_stage", fake_stage)
+    r._calls = calls
+    return r
+
+
+def test_stages_in_order(runner):
+    status = runner.process_class("towel")
+    assert status == {s: True for s in SweepRunner.STAGES}
+    assert [s for s, _ in runner._calls] == list(SweepRunner.STAGES)
+
+
+def test_failure_stops_later_stages_and_is_recorded(runner):
+    status = runner.process_class("bad")
+    assert status["segmentation"] is True
+    assert status["projection"] is False
+    assert "refinement" not in status  # later stages not attempted
+    # failure persisted in the checkpoint file
+    assert runner.checkpoint.stage_done("bad", "segmentation")
+    assert not runner.checkpoint.stage_done("bad", "projection")
+
+
+def test_resume_skips_done_stages(tmp_path, monkeypatch):
+    cfg = Config()
+    path = str(tmp_path / "ckpt.txt")
+    r1 = SweepRunner(cfg, checkpoint_path=path)
+    monkeypatch.setattr(r1, "_run_stage", lambda s, c: None)
+    r1.process_class("towel")
+
+    r2 = SweepRunner(cfg, checkpoint_path=path)
+    calls = []
+    monkeypatch.setattr(r2, "_run_stage", lambda s, c: calls.append(s))
+    status = r2.process_class("towel")
+    assert calls == []  # everything checkpointed
+    assert all(status.values())
+
+
+def test_skip_list_and_class_list(runner):
+    results = runner.run(classes=["towel", "ceiling light"], skip=("ceiling light",))
+    assert list(results) == ["towel"]
+    classes = default_class_list(2)
+    assert len(classes) == 6
+
+
+def test_find_parameters_skips_segmentation(tmp_path, monkeypatch):
+    cfg = Config()
+    r = SweepRunner(cfg, checkpoint_path=str(tmp_path / "c.txt"), skip_segmentation=True)
+    calls = []
+    monkeypatch.setattr(r, "_run_stage", lambda s, c: calls.append(s))
+    status = r.process_class("towel")
+    assert "segmentation" not in calls
+    assert status["segmentation"] is True
