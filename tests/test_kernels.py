@@ -62,3 +62,30 @@ def test_flash_attention_small_fallback(rng):
     out = np.asarray(fa.attend(jnp.asarray(q), jnp.asarray(q), jnp.asarray(q)))
     ref = _xla_attention(q, q, q)
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_window_attention_relpos_matches_xla(rng):
+    from beyondff_tpu.kernels.window_attention import window_attention_relpos
+    from beyondff_tpu.models.sam import _rel_pos_bias
+
+    g, wh, ww, d = 3, 4, 5, 16
+    s = wh * ww
+    q = rng.normal(size=(g, s, d)).astype(np.float32)
+    k = rng.normal(size=(g, s, d)).astype(np.float32)
+    v = rng.normal(size=(g, s, d)).astype(np.float32)
+    rel_h = rng.normal(size=(2 * wh - 1, d)).astype(np.float32) * 0.1
+    rel_w = rng.normal(size=(2 * ww - 1, d)).astype(np.float32) * 0.1
+
+    # XLA oracle: the exact path in models/sam.ViTAttention
+    logits = np.einsum("gqd,gkd->gqk", q * d ** -0.5, k)
+    bias = np.asarray(_rel_pos_bias((wh, ww), (wh, ww), jnp.asarray(rel_h),
+                                    jnp.asarray(rel_w), jnp.asarray(q)))
+    logits = logits + bias
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    ref = np.einsum("gqk,gkd->gqd", w, v)
+
+    out = np.asarray(window_attention_relpos(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rel_h),
+        jnp.asarray(rel_w), wh, ww, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
