@@ -47,6 +47,28 @@ def make_sharded_lift(mesh: Mesh, depth_thresh: float = 0.08, data_axis: str = "
     return jax.jit(fn)
 
 
+def make_sharded_lift_packed(mesh: Mesh, n_masks: int = 32, depth_thresh: float = 0.08,
+                             data_axis: str = "data"):
+    """Frame-sharded bit-packed lift (see geometry.lift_frames_packed):
+    uint32 mask bitfields shard over the data axis; counts psum-reduce."""
+
+    def local(pcd_h, projs, depths, masks_packed):
+        membership, masked_counts, viewed_counts = geometry.lift_frames_packed(
+            pcd_h, projs, depths, masks_packed, depth_thresh, n_masks=n_masks
+        )
+        masked_counts = jax.lax.psum(masked_counts, data_axis)
+        viewed_counts = jax.lax.psum(viewed_counts, data_axis)
+        return membership, masked_counts, viewed_counts
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis), P(data_axis), P(data_axis)),
+        out_specs=(P(data_axis), P(), P()),
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_view_counts(mesh: Mesh, depth_thresh: float = 0.08, data_axis: str = "data"):
     """Frame-sharded visibility counting with a psum reduce."""
 

@@ -78,3 +78,22 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_packed_lift_matches_single_device(rng):
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    n, h, w, m, f = 256, 16, 24, 3, 8
+    pcd_h = geometry.homogenize(rng.uniform([-1, -1, 1], [1, 1, 3], (n, 3)))
+    intr = np.array([[12.0, 0, w / 2], [0, 12.0, h / 2], [0, 0, 1.0]])
+    projs = np.stack([geometry.fuse_projection(intr, np.eye(4)).astype(np.float32)] * f)
+    depths = rng.uniform(1, 3, (f, h, w)).astype(np.float32)
+    masks = rng.random((f, m, h * w)) < 0.5
+    packed = np.stack([geometry.pack_masks(mm) for mm in masks])
+
+    ref = geometry.lift_frames_packed(jnp.asarray(pcd_h), jnp.asarray(projs),
+                                      jnp.asarray(depths), jnp.asarray(packed), n_masks=m)
+    sharded = plift.make_sharded_lift_packed(mesh, n_masks=m)
+    out = sharded(jnp.asarray(pcd_h), jnp.asarray(projs), jnp.asarray(depths),
+                  jnp.asarray(packed))
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
