@@ -64,13 +64,19 @@ class Segmentor2D:
         self._query_embedding_cache: Dict[str, np.ndarray] = {}
 
     # ------------------------------------------------------------- loading
+    def _dtype(self):
+        import jax.numpy as jnp
+
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(
+            self.cfg.detector.dtype, jnp.float32)
+
     def _load_detector(self):
         d = self.cfg.detector
         if d.kind == "yolo_world":
             from beyondff_tpu.models import yolo_world
 
             return yolo_world.load(d.yolo_world_checkpoint) if d.yolo_world_checkpoint \
-                else yolo_world.YOLOWorld.create("test")
+                else yolo_world.YOLOWorld.create("test", dtype=self._dtype())
         from beyondff_tpu.models.gdino import GroundingDINO
 
         if d.gdino_checkpoint:
@@ -80,8 +86,8 @@ class Segmentor2D:
             cfg = gdino_model.PRESETS["swinb"]
             params = convert.convert_torch_checkpoint(d.gdino_checkpoint, cfg)
             tok = BertTokenizer(d.bert_vocab_path) if d.bert_vocab_path else None
-            return GroundingDINO(cfg, params, tok)
-        return GroundingDINO.create("test")
+            return GroundingDINO(cfg, params, tok, dtype=self._dtype())
+        return GroundingDINO.create("test", dtype=self._dtype())
 
     def _load_sam(self):
         d = self.cfg.detector
@@ -91,15 +97,15 @@ class Segmentor2D:
             if d.efficientsam_checkpoint:
                 cfg = efficientsam.PRESETS["vits"]
                 params = efficientsam.convert_torch_checkpoint(d.efficientsam_checkpoint, cfg)
-                return efficientsam.EfficientSAM(cfg, params)
-            return efficientsam.EfficientSAM.create("test")
+                return efficientsam.EfficientSAM(cfg, params, dtype=self._dtype())
+            return efficientsam.EfficientSAM.create("test", dtype=self._dtype())
         from beyondff_tpu.models import sam as sam_mod
 
         if d.sam_checkpoint and os.path.exists(d.sam_checkpoint):
             cfg = sam_mod.PRESETS["vit_h"]
             params = sam_mod.convert_torch_checkpoint(d.sam_checkpoint, cfg)
-            return sam_mod.SAM(cfg, params)
-        return sam_mod.SAM.create("test")
+            return sam_mod.SAM(cfg, params, dtype=self._dtype())
+        return sam_mod.SAM.create("test", dtype=self._dtype())
 
     def _load_clip(self):
         from beyondff_tpu.models import clip as clip_mod
@@ -108,8 +114,8 @@ class Segmentor2D:
         d = self.cfg.detector
         if d.clip_checkpoint:
             return clip_mod.load(d.clip_model_size, d.clip_checkpoint,
-                                 bpe_path=d.clip_bpe_path or None)
-        model = clip_mod.CLIP.create("test")
+                                 bpe_path=d.clip_bpe_path or None, dtype=self._dtype())
+        model = clip_mod.CLIP.create("test", dtype=self._dtype())
         return model, HashTokenizer(model.cfg.vocab_size, model.cfg.context_length)
 
     # ------------------------------------------------------- CLIP filtering
