@@ -62,7 +62,9 @@ def main():
     from beyondff_tpu.models.gdino import GroundingDINO, model as gdino_model
 
     small = os.environ.get("BFF_BENCH_SCALE") == "small"
-    batch = int(os.environ.get("BFF_BENCH_BATCH", "4"))
+    # batch 1 measured optimal on v5e: the dominant ops (deformable gathers,
+    # SAM windowed attention) are memory-bound and don't amortize with batch
+    batch = int(os.environ.get("BFF_BENCH_BATCH", "1"))
     iters = int(os.environ.get("BFF_BENCH_ITERS", "8"))
     crops_per_frame = 4
     boxes_per_frame = 4
