@@ -57,10 +57,12 @@ def _whitespace_clean(text: str) -> str:
 class ClipTokenizer:
     """CLIP's lower-cased BPE tokenizer over a 49152-merge vocabulary."""
 
+    # python-re equivalent of CLIP's \p{L}/\p{N} pattern: words ([^\W\d_]+),
+    # single digits, and runs of other non-space symbols (incl. underscore)
     PATTERN = re.compile(
-        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-        .replace(r"\p{L}", r"[^\W\d_]").replace(r"[\p{N}]", r"\d").replace(r"\p{N}", r"\d"),
-        re.IGNORECASE,
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
+        re.IGNORECASE | re.UNICODE,
     )
 
     def __init__(self, bpe_path: str, context_length: int = 77):
@@ -69,7 +71,7 @@ class ClipTokenizer:
         opener = gzip.open if bpe_path.endswith(".gz") else open
         with opener(bpe_path, "rt", encoding="utf-8") as f:
             merges = f.read().split("\n")[1 : 49152 - 256 - 2 + 1]
-        merges = [tuple(m.split()) for m in merges]
+        merges = [tuple(m.split()) for m in merges if m.strip()]
         vocab = list(self.byte_encoder.values())
         vocab += [v + "</w>" for v in vocab]
         vocab += ["".join(m) for m in merges]

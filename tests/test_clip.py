@@ -62,3 +62,33 @@ def test_bert_wordpiece(tmp_path):
     assert ids[0].tolist()[:5] == [2, 4, 5, 6, 3]  # CLS cloth ##es chair SEP
     assert ids[1].tolist()[:5] == [2, 7, 1, 8, 3]  # CLS a UNK . SEP
     assert out["attention_mask"][0, :5].all()
+
+
+def test_clip_bpe_tokenizer_with_synthetic_vocab(tmp_path):
+    """Exercise the real BPE algorithm with a miniature merges file."""
+    import gzip
+
+    from beyondff_tpu.models.tokenizers import ClipTokenizer
+
+    merges = ["#version: 0.2"]
+    # merge rules: "l o", "lo w</w>", "h e", "he y</w>"
+    merges += ["l o", "lo w</w>", "h e", "he y</w>"]
+    # pad to the expected merge count window (tokenizer slices [1:48894+1])
+    path = tmp_path / "bpe.txt.gz"
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        f.write("\n".join(merges) + "\n")
+
+    tok = ClipTokenizer(str(path), context_length=16)
+    ids = tok.encode("low hey")
+    # 'low' -> merges to single 'low</w>' token; 'hey' -> 'hey</w>'
+    assert tok.encoder["low</w>"] in ids
+    assert tok.encoder["hey</w>"] in ids
+    # unknown word falls back to byte-level pieces, still encodable
+    ids2 = tok.encode("zq")
+    assert len(ids2) >= 1
+    out = tok(["low hey"])
+    assert out.shape == (1, 16)
+    assert out[0, 0] == tok.sot
+    # EOT directly after the two word tokens
+    eot_pos = list(out[0]).index(tok.eot)
+    assert eot_pos == 3
