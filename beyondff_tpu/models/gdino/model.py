@@ -391,10 +391,17 @@ class GroundingDINO:
         b = len(images)
         img = np.concatenate([self.preprocess_image(im) for im in images], axis=0)
         tile = lambda x: np.broadcast_to(x, (b, *x.shape[1:]))
-        logits, boxes = self._forward(
-            self.params, jnp.asarray(img), jnp.asarray(tile(ids)),
-            jnp.asarray(tile(self_mask)), jnp.asarray(tile(pad)),
-            jnp.asarray(tile(pos_ids)))
+        args = [jnp.asarray(img), jnp.asarray(tile(ids)), jnp.asarray(tile(self_mask)),
+                jnp.asarray(tile(pad)), jnp.asarray(tile(pos_ids))]
+        devices = jax.devices()
+        if len(devices) > 1 and b % len(devices) == 0:
+            # data-parallel inference: shard the frame batch over all devices
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            mesh = Mesh(np.asarray(devices), ("data",))
+            sharding = NamedSharding(mesh, PartitionSpec("data"))
+            args = [jax.device_put(a, sharding) for a in args]
+        logits, boxes = self._forward(self.params, *args)
         probs = np.asarray(jax.nn.sigmoid(np.asarray(logits, np.float32)))  # (B, Q, T)
         boxes = np.asarray(boxes, np.float32)
         out = []

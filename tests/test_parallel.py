@@ -97,3 +97,31 @@ def test_sharded_packed_lift_matches_single_device(rng):
                   jnp.asarray(packed))
     for a, b in zip(ref, out):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dp_detector_forward_matches_single_device(rng):
+    """GDINO batched forward sharded over the data axis == single device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from beyondff_tpu.models.gdino import GroundingDINO
+
+    gd = GroundingDINO.create("test", seed=0)
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    b, t = 8, 6
+    h, w = gd.cfg.image_size
+    img = jnp.asarray(rng.normal(size=(b, h, w, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, gd.cfg.bert.vocab_size, (b, t)), jnp.int32)
+    sm = jnp.ones((b, t, t), bool)
+    pm = jnp.ones((b, t), bool)
+    pos = jnp.zeros((b, t), jnp.int32)
+
+    ref_logits, ref_boxes = gd._forward(gd.params, img, ids, sm, pm, pos)
+
+    shard = lambda x: jax.device_put(x, NamedSharding(mesh, P("data")))
+    out_logits, out_boxes = gd._forward(
+        gd.params, shard(img), shard(ids), shard(sm), shard(pm), shard(pos))
+    np.testing.assert_allclose(np.asarray(out_boxes), np.asarray(ref_boxes),
+                               rtol=1e-5, atol=1e-5)
+    fin = np.isfinite(np.asarray(ref_logits))
+    np.testing.assert_allclose(np.asarray(out_logits)[fin], np.asarray(ref_logits)[fin],
+                               rtol=1e-4, atol=1e-4)
