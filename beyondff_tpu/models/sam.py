@@ -414,7 +414,15 @@ class SAM:
         return np.asarray(boxes_xyxy, np.float32) * scale
 
     def encode_image(self, images_normalized) -> jnp.ndarray:
-        return self._encode(self.params, jnp.asarray(images_normalized))
+        x = jnp.asarray(images_normalized)
+        devices = jax.devices()
+        if len(devices) > 1 and x.shape[0] % len(devices) == 0:
+            # data-parallel encode: shard the frame batch over all devices
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            mesh = Mesh(np.asarray(devices), ("data",))
+            x = jax.device_put(x, NamedSharding(mesh, PartitionSpec("data")))
+        return self._encode(self.params, x)
 
     def decode_boxes(self, embedding, boxes) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """embedding (g, g, d); boxes (B, 4) in padded-square pixels.

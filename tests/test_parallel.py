@@ -125,3 +125,14 @@ def test_dp_detector_forward_matches_single_device(rng):
     fin = np.isfinite(np.asarray(ref_logits))
     np.testing.assert_allclose(np.asarray(out_logits)[fin], np.asarray(ref_logits)[fin],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_dp_sam_encode_matches_single_device(rng):
+    from beyondff_tpu.models import sam as sam_mod
+
+    sam = sam_mod.SAM.create("test", seed=0)
+    s = sam.cfg.img_size
+    x = rng.normal(size=(8, s, s, 3)).astype(np.float32)
+    dp = np.asarray(sam.encode_image(x))        # 8 devices: auto-sharded
+    single = np.asarray(sam.encode_image(x[:1]))  # batch 1: no sharding path
+    np.testing.assert_allclose(dp[:1], single, rtol=1e-4, atol=1e-5)
