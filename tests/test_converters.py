@@ -188,3 +188,155 @@ def test_sam_converter_round_trip(tmp_path):
     a = np.asarray(model.encode_image(x))
     b = np.asarray(sam_mod.SAM(model.cfg, params).encode_image(x))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def _fake_gdino_checkpoint(model) -> dict:
+    """Official-layout state dict inverse-mapped from our tiny-config params."""
+    from beyondff_tpu.models.gdino import model as gm
+
+    p = model.params["params"]
+    cfg = model.cfg
+    sd = {}
+
+    def dense_inv(prefix, d):
+        sd[f"{prefix}.weight"] = _t(np.asarray(d["kernel"]).T)
+        sd[f"{prefix}.bias"] = _t(d["bias"])
+
+    def ln_inv(prefix, d):
+        sd[f"{prefix}.weight"] = _t(d["scale"])
+        sd[f"{prefix}.bias"] = _t(d["bias"])
+
+    def mha_inv(prefix, d):
+        qw = np.asarray(d["q"]["kernel"]).T
+        kw = np.asarray(d["k"]["kernel"]).T
+        vw = np.asarray(d["v"]["kernel"]).T
+        sd[f"{prefix}.in_proj_weight"] = _t(np.concatenate([qw, kw, vw], 0))
+        sd[f"{prefix}.in_proj_bias"] = _t(np.concatenate(
+            [d["q"]["bias"], d["k"]["bias"], d["v"]["bias"]]))
+        dense_inv(f"{prefix}.out_proj", d["proj"])
+
+    def deform_inv(prefix, d):
+        for name in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+            dense_inv(f"{prefix}.{name}", d[name])
+
+    bk = p["backbone"]
+    sd["backbone.0.patch_embed.proj.weight"] = _t(
+        np.asarray(bk["patch_embed"]["kernel"]).transpose(3, 2, 0, 1))
+    sd["backbone.0.patch_embed.proj.bias"] = _t(bk["patch_embed"]["bias"])
+    ln_inv("backbone.0.patch_embed.norm", bk["patch_norm"])
+    for si, depth in enumerate(cfg.swin.depths):
+        for bi in range(depth):
+            blk = bk[f"stage{si}_block{bi}"]
+            pfx = f"backbone.0.layers.{si}.blocks.{bi}"
+            ln_inv(f"{pfx}.norm1", blk["ln1"])
+            ln_inv(f"{pfx}.norm2", blk["ln2"])
+            dense_inv(f"{pfx}.attn.qkv", blk["attn"]["qkv"])
+            dense_inv(f"{pfx}.attn.proj", blk["attn"]["proj"])
+            sd[f"{pfx}.attn.relative_position_bias_table"] = _t(blk["attn"]["rel_bias_table"])
+            dense_inv(f"{pfx}.mlp.fc1", blk["mlp_fc1"])
+            dense_inv(f"{pfx}.mlp.fc2", blk["mlp_fc2"])
+        if si < len(cfg.swin.depths) - 1:
+            mg = bk[f"merge{si}"]
+            ln_inv(f"backbone.0.layers.{si}.downsample.norm", mg["norm"])
+            sd[f"backbone.0.layers.{si}.downsample.reduction.weight"] = _t(
+                np.asarray(mg["reduction"]["kernel"]).T)
+    for si in cfg.swin.out_indices:
+        ln_inv(f"backbone.0.norm{si}", bk[f"out_norm{si}"])
+
+    bt = p["bert"]
+    sd["bert.embeddings.word_embeddings.weight"] = _t(bt["word_emb"]["embedding"])
+    sd["bert.embeddings.position_embeddings.weight"] = _t(bt["pos_emb"])
+    sd["bert.embeddings.token_type_embeddings.weight"] = _t(bt["type_emb"])
+    ln_inv("bert.embeddings.LayerNorm", bt["emb_ln"])
+    for i in range(cfg.bert.layers):
+        lyr = bt[f"layer{i}"]
+        pfx = f"bert.encoder.layer.{i}"
+        dense_inv(f"{pfx}.attention.self.query", lyr["q"])
+        dense_inv(f"{pfx}.attention.self.key", lyr["k"])
+        dense_inv(f"{pfx}.attention.self.value", lyr["v"])
+        dense_inv(f"{pfx}.attention.output.dense", lyr["attn_out"])
+        ln_inv(f"{pfx}.attention.output.LayerNorm", lyr["ln1"])
+        dense_inv(f"{pfx}.intermediate.dense", lyr["fc1"])
+        dense_inv(f"{pfx}.output.dense", lyr["fc2"])
+        ln_inv(f"{pfx}.output.LayerNorm", lyr["ln2"])
+
+    dense_inv("feat_map", p["feat_map"])
+    for li in range(cfg.levels):
+        sd[f"input_proj.{li}.0.weight"] = _t(
+            np.asarray(p[f"input_proj{li}"]["kernel"]).transpose(3, 2, 0, 1))
+        sd[f"input_proj.{li}.0.bias"] = _t(p[f"input_proj{li}"]["bias"])
+        ln_inv(f"input_proj.{li}.1", p[f"input_gn{li}"])
+    sd["transformer.level_embed"] = _t(p["level_embed"])
+
+    for i in range(cfg.enc_layers):
+        enc = p[f"enc{i}"]
+        deform_inv(f"transformer.encoder.layers.{i}.self_attn", enc["deform"])
+        ln_inv(f"transformer.encoder.layers.{i}.norm1", enc["img_ln1"])
+        dense_inv(f"transformer.encoder.layers.{i}.linear1", enc["img_fc1"])
+        dense_inv(f"transformer.encoder.layers.{i}.linear2", enc["img_fc2"])
+        ln_inv(f"transformer.encoder.layers.{i}.norm2", enc["img_ln2"])
+        mha_inv(f"transformer.encoder.text_layers.{i}.self_attn", enc["text_attn"])
+        ln_inv(f"transformer.encoder.text_layers.{i}.norm1", enc["text_ln1"])
+        dense_inv(f"transformer.encoder.text_layers.{i}.linear1", enc["text_fc1"])
+        dense_inv(f"transformer.encoder.text_layers.{i}.linear2", enc["text_fc2"])
+        ln_inv(f"transformer.encoder.text_layers.{i}.norm2", enc["text_ln2"])
+        fus = enc["fusion"]
+        fpfx = f"transformer.encoder.fusion_layers.{i}"
+        for name in ("v_proj", "l_proj", "values_v_proj", "values_l_proj",
+                     "out_v_proj", "out_l_proj"):
+            dense_inv(f"{fpfx}.attn.{name}", fus[name])
+        sd[f"{fpfx}.gamma_v"] = _t(fus["gamma_v"])
+        sd[f"{fpfx}.gamma_l"] = _t(fus["gamma_l"])
+        ln_inv(f"{fpfx}.layer_norm_v", fus["ln_v"])
+        ln_inv(f"{fpfx}.layer_norm_l", fus["ln_l"])
+
+    dense_inv("transformer.enc_output", p["enc_output"])
+    ln_inv("transformer.enc_output_norm", p["enc_output_ln"])
+    sd["transformer.tgt_embed.weight"] = _t(p["tgt_embed"])
+    for i in range(3):
+        dense_inv(f"transformer.enc_out_bbox_embed.layers.{i}", p["enc_bbox_head"][f"fc{i}"])
+
+    for i in range(cfg.dec_layers):
+        dec = p[f"dec{i}"]
+        pfx = f"transformer.decoder.layers.{i}"
+        mha_inv(f"{pfx}.self_attn", dec["self_attn"])
+        ln_inv(f"{pfx}.norm2", dec["ln1"])
+        mha_inv(f"{pfx}.ca_text", dec["text_cross"])
+        ln_inv(f"{pfx}.catext_norm", dec["ln_text"])
+        deform_inv(f"{pfx}.cross_attn", dec["deform"])
+        ln_inv(f"{pfx}.norm1", dec["ln2"])
+        dense_inv(f"{pfx}.linear1", dec["fc1"])
+        dense_inv(f"{pfx}.linear2", dec["fc2"])
+        ln_inv(f"{pfx}.norm3", dec["ln3"])
+    ln_inv("transformer.decoder.norm", p["dec_norm"])
+    dense_inv("transformer.decoder.ref_point_head.layers.0", p["ref_point_fc1"])
+    dense_inv("transformer.decoder.ref_point_head.layers.1", p["ref_point_fc2"])
+    for i in range(3):
+        dense_inv(f"bbox_embed.0.layers.{i}", p["bbox_head"][f"fc{i}"])
+    return sd
+
+
+def test_gdino_converter_round_trip(tmp_path):
+    from beyondff_tpu.models.gdino import GroundingDINO
+    from beyondff_tpu.models.gdino.convert import convert_torch_checkpoint
+
+    model = GroundingDINO.create("test", seed=7)
+    sd = _fake_gdino_checkpoint(model)
+    path = str(tmp_path / "gdino.pth")
+    torch.save({"model": sd}, path)
+    params = convert_torch_checkpoint(path, model.cfg)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(model.params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(params))
+    assert len(flat_a) == len(flat_b), (len(flat_a), len(flat_b))
+    for path_k, leaf in flat_a:
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_b[path_k]),
+                                   rtol=1e-6, err_msg=str(path_k))
+
+    # converted params run the detector identically
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+    a = model.predict(img, "clothes", box_threshold=0.0, text_threshold=0.0)
+    b = GroundingDINO(model.cfg, params, model.tokenizer).predict(
+        img, "clothes", box_threshold=0.0, text_threshold=0.0)
+    np.testing.assert_allclose(a[0], b[0], rtol=1e-4, atol=1e-5)
