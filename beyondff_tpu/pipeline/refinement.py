@@ -26,10 +26,11 @@ from beyondff_tpu.utils import io as bio
 from beyondff_tpu.utils.checkpoint import SceneCheckpoint
 
 
-def decode_stage1(stage1_raw: Dict) -> Dict:
+def decode_stage1(stage1_raw: Dict, labels_table=None) -> Dict:
     """RLE-decode stage-1 masks and map integer labels to class names."""
+    table = labels_table or scannet200.INSTANCE_CAT_SCANNET_200
     masks = np.stack([rle.rle_decode(r) for r in stage1_raw["ins"]]).astype(bool)
-    labels = [scannet200.instance_label(int(i)) for i in stage1_raw["final_class"]]
+    labels = [table[int(i)] for i in stage1_raw["final_class"]]
     return {"ins": masks, "conf": np.asarray(stage1_raw["conf"], np.float32), "final_class": labels}
 
 
@@ -46,6 +47,9 @@ def run(
     query = class_name
     query_underscore = query.replace(" ", "_")
     sim = sim or build_text_similarity(cfg)
+    from beyondff_tpu.pipeline.evaluate import class_table
+
+    labels_table, _ = class_table(p.dataset)
 
     stage2_dir = os.path.join(p.mask_3d_dir, class_name)
     if scenes is None:
@@ -62,7 +66,7 @@ def run(
         if stage1_path is None or stage2_path is None:
             continue  # reference skips scenes missing either input (refinement.py:175-178)
         kept_scenes.append(scene_id)
-        stage1 = decode_stage1(bio.load_stage_dict(stage1_path))
+        stage1 = decode_stage1(bio.load_stage_dict(stage1_path), labels_table)
         stage2 = bio.load_stage_dict(stage2_path)
         s2_ins = np.asarray(stage2["ins"]).astype(bool)
         if s2_ins.ndim != 2 or s2_ins.shape[0] == 0 or s2_ins.size == 0:
@@ -107,6 +111,9 @@ def run_multi(
     """
     p = cfg.paths
     sim = sim or build_text_similarity(cfg)
+    from beyondff_tpu.pipeline.evaluate import class_table
+
+    labels_table, _ = class_table(p.dataset)
 
     # scene -> classes that produced stage-2 output for it
     per_scene: Dict[str, List[str]] = {}
@@ -124,7 +131,7 @@ def run_multi(
         stage1_path = _find(os.path.join(p.stage_1_results_dir, scene_id))
         if stage1_path is None:
             continue
-        stage1 = decode_stage1(bio.load_stage_dict(stage1_path))  # decoded once
+        stage1 = decode_stage1(bio.load_stage_dict(stage1_path), labels_table)  # decoded once
         for cls in per_scene[scene_id]:
             stage2_path = _find(os.path.join(p.mask_3d_dir, cls, scene_id))
             stage2 = bio.load_stage_dict(stage2_path)

@@ -26,7 +26,7 @@ W2D, H2D = 324, 242  # quarter of the real 1296x968; keeps tests fast
 DEPTH_W, DEPTH_H = 160, 120
 
 
-def build_scene(rng, query):
+def build_scene(rng, query, replica_labels: bool = False):
     """Point cloud with 2 query-class objects, 1 distractor, background."""
     pts, sem, inst = [], [], []
 
@@ -38,8 +38,15 @@ def build_scene(rng, query):
         sem.append(np.full(n, sem_id))
         inst.append(np.full(n, inst_id))
 
-    q_sem = scannet200.raw_semantic_id(query)
-    t_sem = scannet200.raw_semantic_id("table")
+    if replica_labels:
+        from beyondff_tpu.data import replica as replica_mod
+
+        # replica eval: sem' = sem + 0; pred label = index+1 -> sem = index+1
+        q_sem = replica_mod.INSTANCE_CAT_REPLICA.index(query) + 1
+        t_sem = replica_mod.INSTANCE_CAT_REPLICA.index("table") + 1
+    else:
+        q_sem = scannet200.raw_semantic_id(query)
+        t_sem = scannet200.raw_semantic_id("table")
     add_blob([-0.8, 0.0, 2.2], [0.25, 0.25, 0.02], 900, q_sem, 0)
     add_blob([0.8, 0.2, 2.6], [0.25, 0.25, 0.02], 900, q_sem, 1)
     add_blob([0.0, -0.8, 2.4], [0.25, 0.25, 0.02], 900, t_sem, 2)
@@ -85,9 +92,15 @@ def render_depth(pts_world, pose, intr, h, w):
     return depth.astype(np.float32)
 
 
-def generate(root: str, query: str = "clothes", scenes: int = 1, seed: int = 7) -> str:
-    """Create the dataset under ``root``; returns the config path."""
+def generate(root: str, query: str = "clothes", scenes: int = 1, seed: int = 7,
+             dataset: str = "Scannet200") -> str:
+    """Create the dataset under ``root``; returns the config path.
+
+    ``dataset="replica"`` writes the Replica layout (scene-root intrinsic.txt,
+    depth scale 6553.5, GT semantics as direct class indices)."""
     rng = np.random.default_rng(seed)
+    replica = dataset.lower() == "replica"
+    depth_scale = 6553.5 if replica else 1000.0
 
     import cv2
     import torch
@@ -96,13 +109,16 @@ def generate(root: str, query: str = "clothes", scenes: int = 1, seed: int = 7) 
 
     for si in range(scenes):
         scene_id = f"scene{si:04d}_00"
-        pts, sem, inst = build_scene(rng, query)
+        pts, sem, inst = build_scene(rng, query, replica_labels=replica)
         d2 = os.path.join(root, "Scannet200_2D", scene_id)
         for sub in ("color", "depth", "pose", "intrinsic"):
             os.makedirs(os.path.join(d2, sub), exist_ok=True)
         intr4 = np.eye(4)
         intr4[:3, :3] = intr_color
-        np.savetxt(os.path.join(d2, "intrinsic", "intrinsic_color.txt"), intr4)
+        if replica:
+            np.savetxt(os.path.join(d2, "intrinsic.txt"), intr4)
+        else:
+            np.savetxt(os.path.join(d2, "intrinsic", "intrinsic_color.txt"), intr4)
 
         records = []
         for fi, pose in enumerate(camera_poses()):
@@ -110,7 +126,8 @@ def generate(root: str, query: str = "clothes", scenes: int = 1, seed: int = 7) 
             np.savetxt(os.path.join(d2, "pose", f"{fid}.txt"), pose)
             # depth rendered directly at color resolution (no resize aliasing)
             depth = render_depth(pts, pose, intr_color, H2D, W2D)
-            cv2.imwrite(os.path.join(d2, "depth", f"{fid}.png"), (depth * 1000).astype(np.uint16))
+            cv2.imwrite(os.path.join(d2, "depth", f"{fid}.png"),
+                        (depth * depth_scale).astype(np.uint16))
             img = rng.integers(0, 255, (H2D, W2D, 3), dtype=np.uint8)
             cv2.imwrite(os.path.join(d2, "color", f"{fid}.jpg"), img)
 
@@ -156,12 +173,18 @@ def generate(root: str, query: str = "clothes", scenes: int = 1, seed: int = 7) 
         s1_dir = os.path.join(root, "stage1")
         os.makedirs(s1_dir, exist_ok=True)
         s1_masks, s1_labels = [], []
+        if replica:
+            from beyondff_tpu.data import replica as replica_mod
+
+            label_index = replica_mod.INSTANCE_CAT_REPLICA.index
+        else:
+            label_index = scannet200.instance_index
         for iid, lab in [(0, query), (1, query), (2, "table")]:
             m = (inst == iid).copy()
             on = np.flatnonzero(m)
             m[on[rng.random(on.size) < 0.06]] = False  # drop 6% of points
             s1_masks.append(rle.rle_encode(m))
-            s1_labels.append(scannet200.instance_index(lab))
+            s1_labels.append(label_index(lab))
         torch.save(
             {"ins": s1_masks, "conf": torch.ones(len(s1_masks)) * 0.7,
              "final_class": s1_labels},
@@ -175,7 +198,7 @@ def generate(root: str, query: str = "clothes", scenes: int = 1, seed: int = 7) 
     cfg = Config.from_dict(
         {
             "paths": {
-                "dataset": "Scannet200",
+                "dataset": dataset,
                 "root_dir": root,
                 "scene_npy_dir": os.path.join(root, "Scannet200_3D", "original_npy_files"),
                 "scene_2d_dir": os.path.join(root, "Scannet200_2D"),
@@ -187,7 +210,8 @@ def generate(root: str, query: str = "clothes", scenes: int = 1, seed: int = 7) 
                 "checkpoint_dir": os.path.join(root, "checkpoints"),
                 "results_dir": os.path.join(root, "eval_results"),
             },
-            "frames": {"width_2d": W2D, "height_2d": H2D, "downsample_ratio": 1},
+            "frames": {"width_2d": W2D, "height_2d": H2D, "downsample_ratio": 1,
+                       "depth_scale": depth_scale},
             "aggregation": {"min_aggregated_masks": 2},
             "base_prompt": query,
         }
@@ -203,8 +227,9 @@ def main():
     ap.add_argument("--cls", default="clothes")
     ap.add_argument("--scenes", type=int, default=1)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--dataset", default="Scannet200")
     args = ap.parse_args()
-    generate(args.root, args.cls, args.scenes, args.seed)
+    generate(args.root, args.cls, args.scenes, args.seed, dataset=args.dataset)
     print(f"synthetic dataset at {args.root}: {args.scenes} scene(s), query={args.cls!r}")
 
 

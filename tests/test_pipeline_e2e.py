@@ -91,3 +91,17 @@ def test_refinement_multi_query_matches_single(scene_cfg):
     np.testing.assert_array_equal(np.asarray(single_out["ins"]), np.asarray(multi_out["ins"]))
     np.testing.assert_allclose(np.asarray(single_out["conf"]), np.asarray(multi_out["conf"]))
     assert multi["clothes"][0]["instances"] == single[0]["instances"]
+
+
+def test_replica_dataset_pipeline(tmp_path):
+    """Replica layout: reader, depth scale, direct class-index labels, eval."""
+    import make_synthetic_scene
+
+    root = str(tmp_path / "replica")
+    cfg = Config.from_yaml(make_synthetic_scene.generate(
+        root, query="basket", scenes=1, seed=11, dataset="replica"))
+    assert cfg.paths.dataset == "replica"
+    projection.run(cfg, "basket", resume=False)
+    refinement.run(cfg, "basket")
+    avgs = evaluate.run(cfg, "basket", verbose=False)
+    assert avgs["classes"]["basket"]["ap50%"] == pytest.approx(1.0)
