@@ -446,6 +446,8 @@ def convert_torch_checkpoint(path: str, cfg: SAMConfig) -> dict:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and hasattr(sd["model"], "items"):
+        sd = sd["model"]  # EfficientSAM-style wrapping
     t = {k: v.float().numpy() for k, v in sd.items()}
 
     def dense(prefix):
@@ -467,15 +469,14 @@ def convert_torch_checkpoint(path: str, cfg: SAMConfig) -> dict:
     }
     for i in range(cfg.encoder_depth):
         p = f"image_encoder.blocks.{i}"
+        attn = {"qkv": dense(f"{p}.attn.qkv"), "proj": dense(f"{p}.attn.proj")}
+        if cfg.use_rel_pos:
+            attn["rel_pos_h"] = t[f"{p}.attn.rel_pos_h"]
+            attn["rel_pos_w"] = t[f"{p}.attn.rel_pos_w"]
         enc[f"block{i}"] = {
             "ln1": ln(f"{p}.norm1"),
             "ln2": ln(f"{p}.norm2"),
-            "attn": {
-                "qkv": dense(f"{p}.attn.qkv"),
-                "proj": dense(f"{p}.attn.proj"),
-                "rel_pos_h": t[f"{p}.attn.rel_pos_h"],
-                "rel_pos_w": t[f"{p}.attn.rel_pos_w"],
-            },
+            "attn": attn,
             "mlp": {"fc1": dense(f"{p}.mlp.lin1"), "fc2": dense(f"{p}.mlp.lin2")},
         }
 

@@ -340,3 +340,28 @@ def test_gdino_converter_round_trip(tmp_path):
     b = GroundingDINO(model.cfg, params, model.tokenizer).predict(
         img, "clothes", box_threshold=0.0, text_threshold=0.0)
     np.testing.assert_allclose(a[0], b[0], rtol=1e-4, atol=1e-5)
+
+
+def test_efficientsam_converter_round_trip(tmp_path):
+    from beyondff_tpu.models import efficientsam as esam_mod
+
+    model = esam_mod.EfficientSAM.create("test", seed=9)
+    # EfficientSAM shares SAM's prompt/decoder naming; encoder is plain ViT
+    sd = _fake_sam_checkpoint(model)
+    # plain-ViT pos embed is stored (1, n_tokens, d) with a cls slot upstream
+    pos = np.asarray(model.params["params"]["encoder"]["pos_embed"])
+    g = pos.shape[1]
+    d = pos.shape[-1]
+    with_cls = np.concatenate([np.zeros((1, 1, d), np.float32),
+                               pos.reshape(1, g * g, d)], axis=1)
+    sd["image_encoder.pos_embed"] = _t(with_cls)
+    path = str(tmp_path / "esam.pt")
+    torch.save({"model": sd}, path)
+    params = esam_mod.convert_torch_checkpoint(path, model.cfg)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(model.params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(params))
+    assert len(flat_a) == len(flat_b)
+    for path_k, leaf in flat_a:
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_b[path_k]),
+                                   rtol=1e-6, err_msg=str(path_k))
