@@ -188,7 +188,7 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
     # 2D stage output: records only for frames with detections
     rec_path = os.path.join(p.mask_2d_dir, class_name, f"{scene_id}.{ 'pth' if ext == 'pth' else 'npz'}")
     if not os.path.exists(rec_path):  # tolerate the other format on disk
-        alt = rec_path[:-4] + ("npz" if ext == "pth" else "pth")
+        alt = rec_path[:-3] + ("npz" if ext == "pth" else "pth")
         rec_path = alt if os.path.exists(alt) else rec_path
     records = bio.load_frame_records(rec_path)
     records = rle.decode_frame_masks(records, image_shape=(cfg.frames.height_2d, cfg.frames.width_2d))

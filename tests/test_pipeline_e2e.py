@@ -105,3 +105,21 @@ def test_replica_dataset_pipeline(tmp_path):
     refinement.run(cfg, "basket")
     avgs = evaluate.run(cfg, "basket", verbose=False)
     assert avgs["classes"]["basket"]["ap50%"] == pytest.approx(1.0)
+
+
+def test_npz_output_format_pipeline(tmp_path):
+    """Torch-free stage outputs (.npz) flow through all three stages + eval."""
+    import make_synthetic_scene
+
+    root = str(tmp_path / "npz")
+    cfg = Config.from_yaml(make_synthetic_scene.generate(root, query="towel", seed=3))
+    cfg = cfg.override(output_format="npz")
+    projection.run(cfg, "towel", resume=False)
+    assert os.path.exists(os.path.join(cfg.paths.mask_3d_dir, "towel", "scene0000_00.npz"))
+    refinement.run(cfg, "towel")
+    final = os.path.join(cfg.paths.final_output_dir, "towel", "scene0000_00.npz")
+    assert os.path.exists(final)
+    d = bio.load_stage_dict(final)
+    assert list(d["final_class"]) == ["towel"] * len(d["final_class"])
+    avgs = evaluate.run(cfg, "towel", verbose=False)
+    assert avgs["classes"]["towel"]["ap50%"] == pytest.approx(1.0)
