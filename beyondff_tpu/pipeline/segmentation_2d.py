@@ -285,17 +285,25 @@ def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None,
             for f in os.listdir(p.stage_1_results_dir)
             if f.endswith((".pth", ".npz"))
         )
+    from beyondff_tpu.utils.profiling import StageProfiler
+
+    prof = StageProfiler("segmentation_2d")
     seg = segmentor or Segmentor2D(cfg)
     ckpt = SceneCheckpoint(p.checkpoint_dir, "segmentation_2d", class_name)
     results = []
     for scene_id in scenes:
         if resume and ckpt.done(scene_id):
             continue
-        records = seg.process_scene(scene_id, class_name)
+        frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id,
+                                          cfg.frames.downsample_ratio)
+        with prof.span("scene", frames=len(frame_ids)):
+            records = seg.process_scene(scene_id, class_name)
         n_frames = len(records)
         rle.encode_frame_masks(records)
         out = os.path.join(p.mask_2d_dir, class_name, f"{scene_id}.{cfg.output_format}")
         bio.save_frame_records(out, records)
         ckpt.mark(scene_id)
         results.append({"scene_id": scene_id, "frames_with_boxes": n_frames})
+    if results:
+        print(prof.report())
     return results

@@ -123,3 +123,26 @@ def test_npz_output_format_pipeline(tmp_path):
     assert list(d["final_class"]) == ["towel"] * len(d["final_class"])
     avgs = evaluate.run(cfg, "towel", verbose=False)
     assert avgs["classes"]["towel"]["ap50%"] == pytest.approx(1.0)
+
+
+def test_projection_with_no_detections(tmp_path):
+    """A scene whose 2D stage found nothing yields a valid empty 3D output."""
+    import make_synthetic_scene
+    from beyondff_tpu.utils import io as bio2
+
+    root = str(tmp_path / "empty")
+    cfg = Config.from_yaml(make_synthetic_scene.generate(root, query="towel", seed=5))
+    # overwrite the 2D records with an empty list
+    bio2.save_frame_records(
+        os.path.join(cfg.paths.mask_2d_dir, "towel", "scene0000_00.pth"), [])
+    results = projection.run(cfg, "towel", resume=False)
+    assert results[0]["instances"] == 0
+    out = bio2.load_stage_dict(
+        os.path.join(cfg.paths.mask_3d_dir, "towel", "scene0000_00.pth"))
+    assert np.asarray(out["ins"]).shape[0] == 0 and list(out["final_class"]) == []
+    # refinement of the empty stage-2 keeps unmatched same-label stage-1 masks
+    refinement.run(cfg, "towel")
+    fin = bio2.load_stage_dict(
+        os.path.join(cfg.paths.final_output_dir, "towel", "scene0000_00.pth"))
+    assert len(fin["final_class"]) == 2  # the two 'towel' stage-1 masks, conf 0.5
+    np.testing.assert_allclose(np.asarray(fin["conf"]), 0.5)
