@@ -136,3 +136,33 @@ def test_dp_sam_encode_matches_single_device(rng):
     dp = np.asarray(sam.encode_image(x))        # 8 devices: auto-sharded
     single = np.asarray(sam.encode_image(x[:1]))  # batch 1: no sharding path
     np.testing.assert_allclose(dp[:1], single, rtol=1e-4, atol=1e-5)
+
+
+def test_sam_finetune_step_decreases_loss(rng):
+    from beyondff_tpu.models import sam as sam_mod
+    from beyondff_tpu.training.sam_finetune import make_sam_finetune_step
+
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    sam = sam_mod.SAM.create("test", seed=0)
+    g = sam.cfg.img_size // sam.cfg.patch_size
+    init_state, step = make_sam_finetune_step(sam.module, mesh, lr=5e-3)
+    state = init_state(sam.params)
+
+    b = 8
+    emb = jnp.asarray(rng.normal(size=(b, g, g, sam.cfg.prompt_dim)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0, sam.cfg.img_size, (b, 4)).astype(np.float32))
+    targets = jnp.asarray((rng.random((b, 4 * g, 4 * g)) < 0.3).astype(np.float32))
+
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, emb, boxes, targets)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # encoder params frozen, decoder params moved
+    enc0 = jax.tree_util.tree_leaves(sam.params["params"]["encoder"])[0]
+    enc1 = jax.tree_util.tree_leaves(state.params["params"]["encoder"])[0]
+    np.testing.assert_array_equal(np.asarray(enc0), np.asarray(enc1))
+    dec0 = jax.tree_util.tree_leaves(sam.params["params"]["decoder"])[0]
+    dec1 = jax.tree_util.tree_leaves(state.params["params"]["decoder"])[0]
+    assert not np.allclose(np.asarray(dec0), np.asarray(dec1))
