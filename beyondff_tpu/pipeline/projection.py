@@ -83,10 +83,27 @@ def lift_scene_streamed(
     """Streaming lift: consumes frames from an iterator (typically wrapped in
     a background prefetcher) and dispatches fixed-shape device chunks as they
     fill, so host IO overlaps device compute."""
+    import jax
+
     n = pcd.shape[0]
     pcd_h = _pad_points(geometry.homogenize(pcd))
     pcd_dev = jnp.asarray(pcd_h)
     n_pad = pcd_h.shape[1]
+
+    # multi-device: frame chunks shard over the data axis with psum-reduced
+    # counts (parallel/lift.py); single device falls through to plain jit
+    n_dev = len(jax.devices())
+    sharded = None
+    if n_dev > 1 and FRAME_CHUNK % n_dev == 0 and VIEW_CHUNK % n_dev == 0:
+        from beyondff_tpu.parallel import lift as plift
+        from beyondff_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=n_dev, model=1)
+        sharded = {
+            "view": plift.make_sharded_view_counts(mesh, depth_thresh),
+            "packed": {},  # n_masks -> compiled fn
+            "mesh": mesh,
+        }
 
     members: List[np.ndarray] = []
     confs: List[float] = []
@@ -109,10 +126,19 @@ def lift_scene_streamed(
             for i, f in enumerate(chunk):
                 packed[i] = geometry.pack_masks(
                     f["masks"].reshape(f["masks"].shape[0], -1).astype(bool))
-            membership, mc, vc = geometry.lift_frames_packed(
-                pcd_dev, jnp.asarray(projs), jnp.asarray(depths), jnp.asarray(packed),
-                depth_thresh, n_masks=m_pad,
-            )
+            if sharded is not None:
+                if m_pad not in sharded["packed"]:
+                    from beyondff_tpu.parallel import lift as plift
+
+                    sharded["packed"][m_pad] = plift.make_sharded_lift_packed(
+                        sharded["mesh"], n_masks=m_pad, depth_thresh=depth_thresh)
+                membership, mc, vc = sharded["packed"][m_pad](
+                    pcd_dev, jnp.asarray(projs), jnp.asarray(depths), jnp.asarray(packed))
+            else:
+                membership, mc, vc = geometry.lift_frames_packed(
+                    pcd_dev, jnp.asarray(projs), jnp.asarray(depths), jnp.asarray(packed),
+                    depth_thresh, n_masks=m_pad,
+                )
         else:
             masks = np.zeros((f_pad, m_pad, h * w), bool)
             valid = np.zeros((f_pad, m_pad), bool)
@@ -140,10 +166,12 @@ def lift_scene_streamed(
         for i, f in enumerate(chunk):
             projs[i] = geometry.fuse_projection(cam_intr, f["pose"]).astype(np.float32)
             depths[i] = f["depth"]
-        viewed_counts[:] += np.asarray(
-            geometry.view_counts(pcd_dev, jnp.asarray(projs), jnp.asarray(depths), depth_thresh),
-            np.int64,
-        )
+        if sharded is not None:
+            vc = sharded["view"](pcd_dev, jnp.asarray(projs), jnp.asarray(depths))
+        else:
+            vc = geometry.view_counts(pcd_dev, jnp.asarray(projs), jnp.asarray(depths),
+                                      depth_thresh)
+        viewed_counts[:] += np.asarray(vc, np.int64)
 
     det_buf: List[Dict] = []
     view_buf: List[Dict] = []

@@ -162,3 +162,33 @@ def test_pr_curves_collected(rng):
     assert len(ev.pr_curves) > 0
     (label, iou_th), (precision, recall) = next(iter(ev.pr_curves.items()))
     assert precision[-1] == 1.0 and recall[-1] == 0.0
+
+
+def test_duplicate_match_demotes_lower_score():
+    """Two preds matching one gt: the lower-confidence one becomes an FP at
+    its own score (the reference's greedy duplicate rule)."""
+    ev = ScanNetEval(["chair"])
+    n = 400
+    sem = np.zeros(n, np.int32)
+    ins = np.full(n, -100, np.int32)
+    sem[:200] = 2
+    ins[:200] = 0
+    mask = np.zeros(n, np.uint8)
+    mask[:200] = 1
+    preds = [
+        {"scan_id": "s", "label_id": 1, "conf": 0.9, "pred_mask": mask},
+        {"scan_id": "s", "label_id": 1, "conf": 0.6, "pred_mask": mask},
+    ]
+    avgs = ev.evaluate([preds], [sem], [ins], verbose=False)
+    # PR curve: TP at 0.9, FP at 0.6 -> precisions (1.0 then 0.5); AP50 = 1*1... 
+    # exact value: recall reaches 1 at the first threshold, extra FP halves
+    # precision at the lower threshold but adds no recall -> AP stays 1.0? No:
+    # integration includes the FP point. Just assert it's penalized vs clean.
+    clean = ev.evaluate([preds[:1]], [sem], [ins], verbose=False)
+    assert avgs["classes"]["chair"]["ap50%"] <= clean["classes"]["chair"]["ap50%"]
+    assert clean["classes"]["chair"]["ap50%"] == pytest.approx(1.0)
+    # order independence: swapping pred order must give identical numbers
+    # (greedy matching visits preds in gt-intersection order, highest conf
+    # wins via the max/min bookkeeping)
+    swapped = ev.evaluate([[preds[1], preds[0]]], [sem], [ins], verbose=False)
+    assert swapped["classes"]["chair"]["ap"] == pytest.approx(avgs["classes"]["chair"]["ap"])
