@@ -68,3 +68,33 @@ def test_find_parameters_skips_segmentation(tmp_path, monkeypatch):
     status = r.process_class("towel")
     assert "segmentation" not in calls
     assert status["segmentation"] is True
+
+
+def test_sweep_runner_real_stages_end_to_end(tmp_path):
+    """Full orchestrated run on the synthetic fixture: seg2d (weightless,
+    zero detections) -> projection -> refinement -> evaluation, with the
+    sweep checkpoint recording every stage."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import make_synthetic_scene
+
+    root = str(tmp_path / "sweeproot")
+    cfg_path = make_synthetic_scene.generate(root, query="towel", seed=2)
+    cfg = Config.from_yaml(cfg_path).override(**{
+        "paths.results_dir": os.path.join(root, "eval_results")})
+    runner = SweepRunner(cfg, config_path=cfg_path,
+                         checkpoint_path=str(tmp_path / "proc.txt"))
+    status = runner.process_class("towel")
+    assert all(status.values()), status
+    # results table row patched for the class
+    table = open(os.path.join(root, "eval_results", "overall_results.txt")).read()
+    assert "towel," in table
+    # resume: second invocation does nothing
+    runner2 = SweepRunner(cfg, checkpoint_path=str(tmp_path / "proc.txt"))
+    called = []
+    runner2._run_stage = lambda s, c: called.append(s)
+    assert all(runner2.process_class("towel").values())
+    assert called == []
