@@ -96,3 +96,39 @@ def test_ms_deform_attn_edge_pixel_exact():
     wgt = np.ones((1, 1, 1, 1, 1), np.float32)
     out = np.asarray(ms_deform_attn(jnp.asarray(val), [(h, w)], jnp.asarray(loc), jnp.asarray(wgt)))
     np.testing.assert_allclose(out[0, 0, 0], h * w - 1, rtol=1e-5)
+
+
+def test_deformable_matmul_and_gather_paths_agree(rng):
+    """Levels under/over the matmul threshold produce consistent samples."""
+    from beyondff_tpu.models.gdino import deformable
+
+    b, heads, hd, p = 2, 2, 8, 3
+    for hw in [(6, 9), (40, 40)]:  # matmul path / gather path
+        h, w = hw
+        q = 15
+        val = jnp.asarray(rng.normal(size=(b, h * w, heads, hd)).astype(np.float32))
+        locs = jnp.asarray(rng.uniform(-0.2, 1.2, (b, q, heads, 1, p, 2)).astype(np.float32))
+        wgt = jnp.asarray(rng.random((b, q, heads, 1, p)).astype(np.float32))
+        out = np.asarray(ms_deform_attn(val, [hw], locs, wgt))
+        # numpy oracle: direct bilinear with zero padding
+        ref = np.zeros((b, q, heads * hd), np.float32)
+        vnp = np.asarray(val).reshape(b, h, w, heads, hd)
+        for bi in range(b):
+            for qi in range(q):
+                for hi in range(heads):
+                    acc = np.zeros(hd, np.float32)
+                    for pi in range(p):
+                        gx = locs[bi, qi, hi, 0, pi, 0] * w - 0.5
+                        gy = locs[bi, qi, hi, 0, pi, 1] * h - 0.5
+                        x0, y0 = int(np.floor(gx)), int(np.floor(gy))
+                        fx, fy = gx - x0, gy - y0
+                        s = np.zeros(hd, np.float32)
+                        for dy, wy_ in ((0, 1 - fy), (1, fy)):
+                            for dx, wx_ in ((0, 1 - fx), (1, fx)):
+                                yy, xx = y0 + dy, x0 + dx
+                                if 0 <= yy < h and 0 <= xx < w:
+                                    s += float(wy_ * wx_) * vnp[bi, yy, xx, hi]
+                        acc += float(wgt[bi, qi, hi, 0, pi]) * s
+                    ref[bi, qi, hi * hd:(hi + 1) * hd] = acc
+        np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-5,
+                                   err_msg=f"hw={hw}")
