@@ -49,11 +49,12 @@ def _interp_matmul(v, h, w, b, heads, head_dim, gx, gy, x0, y0, aw, dtype):
 
     vh = v.reshape(b, h, w, heads, head_dim).transpose(0, 3, 1, 2, 4)
     vh = vh.reshape(b, heads, h, w * head_dim)
-    t = jnp.einsum("bqhpr,bhrx->bqhpx", wy, vh,
-                   preferred_element_type=jnp.float32).astype(dtype)
+    # dtype-following accumulation: each output sums only 2 (rows) x 2 (cols)
+    # bilinear taps per point, so bf16 accumulation is exact enough, and
+    # bf16 x bf16 -> f32 dots are unsupported on some CPU backends
+    t = jnp.einsum("bqhpr,bhrx->bqhpx", wy, vh)
     t = t.reshape(*t.shape[:-1], w, head_dim)
-    contrib = jnp.einsum("bqhpw,bqhpwd->bqhd", wx, t,
-                         preferred_element_type=jnp.float32)
+    contrib = jnp.einsum("bqhpw,bqhpwd->bqhd", wx, t)
     return contrib.astype(dtype)
 
 
