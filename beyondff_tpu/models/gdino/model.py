@@ -318,6 +318,9 @@ class GDINOModule(nn.Module):
 class GroundingDINO:
     """Inference wrapper: caption preprocessing, jitted forward, phrase extraction."""
 
+    # detections surviving device-side top-K selection per frame
+    TOP_K = 64
+
     def __init__(self, cfg: GDINOConfig, params, tokenizer, dtype=jnp.float32):
         self.cfg = cfg
         self.params = params
@@ -326,6 +329,21 @@ class GroundingDINO:
         self._forward = jax.jit(
             lambda p, img, ids, sm, pm, pos: self.module.apply(p, img, ids, sm, pm, pos)
         )
+        k = min(self.TOP_K, cfg.num_queries)
+
+        def fwd_topk(p, img, ids, sm, pm, pos):
+            # device-side score computation + top-K selection: only (B, K)
+            # boxes/scores/posmaps cross to the host instead of the full
+            # (B, num_queries, T) logits
+            logits, boxes = self.module.apply(p, img, ids, sm, pm, pos)
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+            scores = jnp.max(probs, axis=-1)  # (B, Q)
+            top_scores, top_idx = jax.lax.top_k(scores, k)
+            top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+            top_probs = jnp.take_along_axis(probs, top_idx[..., None], axis=1)
+            return top_scores, top_boxes, top_probs
+
+        self._forward_topk = jax.jit(fwd_topk)
 
     @classmethod
     def create(cls, name_or_cfg="swinb", tokenizer=None, seed: int = 0, dtype=jnp.float32,
@@ -401,18 +419,18 @@ class GroundingDINO:
             mesh = Mesh(np.asarray(devices), ("data",))
             sharding = NamedSharding(mesh, PartitionSpec("data"))
             args = [jax.device_put(a, sharding) for a in args]
-        logits, boxes = self._forward(self.params, *args)
-        probs = np.asarray(jax.nn.sigmoid(np.asarray(logits, np.float32)))  # (B, Q, T)
-        boxes = np.asarray(boxes, np.float32)
+        top_scores, top_boxes, top_probs = self._forward_topk(self.params, *args)
+        top_scores = np.asarray(top_scores, np.float32)
+        top_boxes = np.asarray(top_boxes, np.float32)
+        top_probs = np.asarray(top_probs, np.float32)
         out = []
         for i in range(b):
-            scores = probs[i].max(axis=1)
-            keep = scores > box_threshold
+            keep = top_scores[i] > box_threshold
             phrases = [
                 self._phrase_from_posmap(p > text_threshold, ids[0])
-                for p in probs[i][keep]
+                for p in top_probs[i][keep]
             ]
-            out.append((boxes[i][keep], scores[keep], phrases))
+            out.append((top_boxes[i][keep], top_scores[i][keep], phrases))
         return out
 
     def _phrase_from_posmap(self, posmap: np.ndarray, ids: np.ndarray) -> str:
