@@ -43,7 +43,8 @@ class SweepRunner:
 
     def __init__(self, cfg: Config, config_path: Optional[str] = None,
                  checkpoint_path: str = "process_checkpoint.txt",
-                 skip_segmentation: bool = False, use_subprocess: bool = False):
+                 skip_segmentation: bool = False, use_subprocess: bool = False,
+                 retries: int = 0):
         self.cfg = cfg
         self.config_path = config_path
         self.checkpoint = SweepCheckpoint(checkpoint_path)
@@ -51,6 +52,10 @@ class SweepRunner:
         # reference's parameter-sweep mode (run_evl_finding_parameter.py:56-87)
         self.skip_segmentation = skip_segmentation
         self.use_subprocess = use_subprocess
+        # transient-failure recovery: per-stage retry budget (the reference
+        # marks a class failed on the first error and moves on,
+        # run_evl.py:115-118; scene-level resume makes retries cheap here)
+        self.retries = retries
         self._segmentor = None
 
     # ------------------------------------------------------------- stages
@@ -98,12 +103,17 @@ class SweepRunner:
                 status[stage] = True
                 continue
             t0 = time.time()
-            try:
-                self._run_stage(stage, class_name)
-                ok = True
-            except Exception:
-                traceback.print_exc()
-                ok = False
+            ok = False
+            for attempt in range(1 + max(0, self.retries)):
+                try:
+                    self._run_stage(stage, class_name)
+                    ok = True
+                    break
+                except Exception:
+                    traceback.print_exc()
+                    if attempt < self.retries:
+                        print(f"[sweep] {class_name} / {stage}: retry "
+                              f"{attempt + 1}/{self.retries}")
             self.checkpoint.mark(class_name, stage, ok)
             status[stage] = ok
             print(f"[sweep] {class_name} / {stage}: {'ok' if ok else 'FAILED'} "

@@ -98,3 +98,20 @@ def test_sweep_runner_real_stages_end_to_end(tmp_path):
     runner2._run_stage = lambda s, c: called.append(s)
     assert all(runner2.process_class("towel").values())
     assert called == []
+
+
+def test_retries_recover_transient_failures(tmp_path, monkeypatch):
+    cfg = Config()
+    r = SweepRunner(cfg, checkpoint_path=str(tmp_path / "r.txt"), retries=2)
+    attempts = {"n": 0}
+
+    def flaky(stage, class_name):
+        if stage == "projection":
+            attempts["n"] += 1
+            if attempts["n"] < 3:
+                raise RuntimeError("transient")
+
+    monkeypatch.setattr(r, "_run_stage", flaky)
+    status = r.process_class("towel")
+    assert all(status.values())
+    assert attempts["n"] == 3  # failed twice, succeeded on the final retry

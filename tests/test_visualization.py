@@ -32,3 +32,19 @@ def test_ply_vertex_reader_ascii(tmp_path):
     v = read_ply_vertices(str(path))
     np.testing.assert_allclose(v["x"], [1.0, 4.0])
     np.testing.assert_allclose(v["z"], [3.0, 6.0])
+
+
+def test_snapshot_png(tmp_path, rng):
+    import types
+
+    from beyondff_tpu.visualization.visualize import SceneVisualizer, write_colored_ply
+
+    xyz = rng.normal(size=(200, 3)).astype(np.float32)
+    rgb = rng.integers(0, 255, (200, 3)).astype(np.uint8)
+    ply = str(tmp_path / "scene.ply")
+    write_colored_ply(ply, xyz, rgb)
+    viz = SceneVisualizer.__new__(SceneVisualizer)  # skip heavy init
+    out = viz.snapshot_png(ply)
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 1000

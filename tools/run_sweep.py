@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--checkpoint", default="process_checkpoint.txt")
     ap.add_argument("--find-parameters", action="store_true",
                     help="skip seg2d; reuse cached 2D masks for threshold tuning")
+    ap.add_argument("--retries", type=int, default=0, help="per-stage retry budget")
     ap.add_argument("--subprocess", action="store_true",
                     help="run stages as subprocesses for crash isolation")
     args = ap.parse_args()
@@ -36,7 +37,7 @@ def main():
     cfg = Config.from_yaml(args.config)
     runner = SweepRunner(cfg, config_path=args.config, checkpoint_path=args.checkpoint,
                          skip_segmentation=args.find_parameters,
-                         use_subprocess=args.subprocess)
+                         use_subprocess=args.subprocess, retries=args.retries)
     classes = args.classes.split(",") if args.classes else default_class_list(args.per_group)
     results = runner.run(classes)
     failed = [c for c, st in results.items() if not all(st.values())]
