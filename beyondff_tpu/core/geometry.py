@@ -101,6 +101,24 @@ def gather_mask_membership(
     return member & (pixel_id >= 0)[None, :]
 
 
+@functools.partial(jax.jit, static_argnames=("out_hw", "depth_scale"))
+def prepare_depth(depth_u16: jnp.ndarray, out_hw: Tuple[int, int],
+                  depth_scale: float = 1000.0) -> jnp.ndarray:
+    """(F, h0, w0) raw uint16 depth -> (F, H, W) metric float32 on device.
+
+    Uploading native-resolution uint16 instead of resized float32 cuts
+    host->device traffic ~8x; the bilinear resize (half-pixel convention,
+    like cv2 INTER_LINEAR) runs on device. Values differ from the cv2
+    fixed-point path at the ~1e-3 level — disable via
+    ``frames.device_depth_resize`` for bit-exact host resizing.
+    """
+    f = depth_u16.shape[0]
+    metric = depth_u16.astype(jnp.float32) / depth_scale
+    if depth_u16.shape[1:] == tuple(out_hw):
+        return metric
+    return jax.image.resize(metric, (f, *out_hw), method="linear")
+
+
 def pack_masks(masks: np.ndarray) -> np.ndarray:
     """(M<=32, HW) bool -> (HW,) uint32 bitfield (bit m = mask m).
 

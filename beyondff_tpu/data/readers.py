@@ -57,6 +57,16 @@ class FrameReader:
             size=size,
         )
 
+    def depth_raw(self, frame_id: str) -> np.ndarray:
+        """Native-resolution raw uint16 depth (device-side scaling/resize)."""
+        import cv2
+
+        path = os.path.join(self.scene_dir, "depth", f"{frame_id}.png")
+        d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if d is None:
+            raise FileNotFoundError(path)
+        return d
+
     def image(self, frame_id: str, size: Optional[tuple] = None) -> np.ndarray:
         return bio.load_image(
             os.path.join(self.scene_dir, "color", f"{frame_id}.jpg"), size=size

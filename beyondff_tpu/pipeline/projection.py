@@ -79,6 +79,8 @@ def lift_scene_streamed(
     frames_iter,
     det_frame_ids,
     depth_thresh: float = 0.08,
+    target_hw=None,
+    depth_scale: float = 1000.0,
 ) -> Tuple[np.ndarray, np.ndarray, List[float], List[str], np.ndarray, np.ndarray]:
     """Streaming lift: consumes frames from an iterator (typically wrapped in
     a background prefetcher) and dispatches fixed-shape device chunks as they
@@ -111,15 +113,29 @@ def lift_scene_streamed(
     masked_counts = np.zeros(n_pad, np.int64)
     viewed_counts = np.zeros(n_pad, np.int64)
 
+    def chunk_depths(chunk: List[Dict], f_pad: int):
+        """(f_pad, H, W) float32 device depths; raw uint16 frames upload at
+        native resolution and scale/resize on device (geometry.prepare_depth)."""
+        if "depth_raw" in chunk[0]:
+            h0, w0 = chunk[0]["depth_raw"].shape
+            raw = np.zeros((f_pad, h0, w0), np.uint16)
+            for i, f in enumerate(chunk):
+                raw[i] = f["depth_raw"]
+            return geometry.prepare_depth(jnp.asarray(raw), tuple(target_hw), depth_scale)
+        h, w = chunk[0]["depth"].shape
+        depths = np.zeros((f_pad, h, w), np.float32)
+        for i, f in enumerate(chunk):
+            depths[i] = f["depth"]
+        return jnp.asarray(depths)
+
     def flush_det(chunk: List[Dict]) -> None:
         f_pad = FRAME_CHUNK
         m_pad = _bucket(max(f["masks"].shape[0] for f in chunk))
-        h, w = chunk[0]["depth"].shape
+        h, w = chunk[0]["masks"].shape[-2:]
         projs = np.zeros((f_pad, 3, 4), np.float32)
-        depths = np.zeros((f_pad, h, w), np.float32)
         for i, f in enumerate(chunk):
             projs[i] = geometry.fuse_projection(cam_intr, f["pose"]).astype(np.float32)
-            depths[i] = f["depth"]
+        depths = chunk_depths(chunk, f_pad)
         if m_pad <= 32:
             # bit-packed path: one uint32 gather per point, 8-32x less traffic
             packed = np.zeros((f_pad, h * w), np.uint32)
@@ -133,10 +149,10 @@ def lift_scene_streamed(
                     sharded["packed"][m_pad] = plift.make_sharded_lift_packed(
                         sharded["mesh"], n_masks=m_pad, depth_thresh=depth_thresh)
                 membership, mc, vc = sharded["packed"][m_pad](
-                    pcd_dev, jnp.asarray(projs), jnp.asarray(depths), jnp.asarray(packed))
+                    pcd_dev, jnp.asarray(projs), depths, jnp.asarray(packed))
             else:
                 membership, mc, vc = geometry.lift_frames_packed(
-                    pcd_dev, jnp.asarray(projs), jnp.asarray(depths), jnp.asarray(packed),
+                    pcd_dev, jnp.asarray(projs), depths, jnp.asarray(packed),
                     depth_thresh, n_masks=m_pad,
                 )
         else:
@@ -147,7 +163,7 @@ def lift_scene_streamed(
                 masks[i, : m.shape[0]] = m
                 valid[i, : m.shape[0]] = True
             membership, mc, vc = geometry.lift_frames(
-                pcd_dev, jnp.asarray(projs), jnp.asarray(depths), jnp.asarray(masks),
+                pcd_dev, jnp.asarray(projs), depths, jnp.asarray(masks),
                 jnp.asarray(valid), depth_thresh,
             )
         membership = np.asarray(membership)
@@ -160,17 +176,14 @@ def lift_scene_streamed(
             labels.extend(f["labels"])
 
     def flush_view(chunk: List[Dict]) -> None:
-        h, w = chunk[0]["depth"].shape
         projs = np.zeros((VIEW_CHUNK, 3, 4), np.float32)
-        depths = np.zeros((VIEW_CHUNK, h, w), np.float32)
         for i, f in enumerate(chunk):
             projs[i] = geometry.fuse_projection(cam_intr, f["pose"]).astype(np.float32)
-            depths[i] = f["depth"]
+        depths = chunk_depths(chunk, VIEW_CHUNK)
         if sharded is not None:
-            vc = sharded["view"](pcd_dev, jnp.asarray(projs), jnp.asarray(depths))
+            vc = sharded["view"](pcd_dev, jnp.asarray(projs), depths)
         else:
-            vc = geometry.view_counts(pcd_dev, jnp.asarray(projs), jnp.asarray(depths),
-                                      depth_thresh)
+            vc = geometry.view_counts(pcd_dev, jnp.asarray(projs), depths, depth_thresh)
         viewed_counts[:] += np.asarray(vc, np.int64)
 
     det_buf: List[Dict] = []
@@ -224,12 +237,14 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
 
     frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id, cfg.frames.downsample_ratio)
 
+    device_resize = cfg.frames.device_depth_resize
+
     def load_frame(fid: str) -> Dict:
-        f: Dict = {
-            "frame_id": fid,
-            "pose": reader.pose(fid),
-            "depth": reader.depth(fid, size=size),
-        }
+        f: Dict = {"frame_id": fid, "pose": reader.pose(fid)}
+        if device_resize:
+            f["depth_raw"] = reader.depth_raw(fid)
+        else:
+            f["depth"] = reader.depth(fid, size=size)
         rec = by_frame.get(fid)
         if rec is not None:
             masks = np.asarray(rec["segmented_frame_masks"])
@@ -246,7 +261,9 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
         frames_iter = prefetch_map(load_frame, frame_ids,
                                    depth=max(1, cfg.parallel.prefetch_depth) * FRAME_CHUNK)
         membership, confs, labels, masked_counts, viewed_counts = lift_scene_streamed(
-            pcd, cam_intr, frames_iter, set(by_frame), cfg.frames.depth_thresh
+            pcd, cam_intr, frames_iter, set(by_frame), cfg.frames.depth_thresh,
+            target_hw=(cfg.frames.height_2d, cfg.frames.width_2d),
+            depth_scale=cfg.frames.depth_scale,
         )
 
     out_path = os.path.join(p.mask_3d_dir, class_name, f"{scene_id}.{ext}")

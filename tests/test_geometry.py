@@ -121,3 +121,16 @@ def test_pack_masks_round_trip(rng):
     packed = geometry.pack_masks(masks)
     for i in range(7):
         np.testing.assert_array_equal((packed >> np.uint32(i)) & 1, masks[i].astype(np.uint32))
+
+
+def test_prepare_depth_matches_cv2(rng):
+    import cv2
+
+    raw = rng.integers(0, 6000, (2, 60, 80)).astype(np.uint16)
+    out = np.asarray(geometry.prepare_depth(jnp.asarray(raw), (120, 160), 1000.0))
+    for i in range(2):
+        ref = cv2.resize(raw[i].astype(np.float32) / 1000.0, (160, 120))
+        np.testing.assert_allclose(out[i], ref, rtol=2e-3, atol=2e-3)
+    # same-resolution path: exact
+    same = np.asarray(geometry.prepare_depth(jnp.asarray(raw), (60, 80), 1000.0))
+    np.testing.assert_allclose(same, raw.astype(np.float32) / 1000.0, rtol=1e-6)

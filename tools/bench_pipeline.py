@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Pipeline-level benchmark: projection + refinement scenes/min at full scale.
+
+Complements bench.py (device-compute frames/sec of the 2D stage) with the
+north-star end-to-end metric over the post-2D stages: a full-resolution
+synthetic scene (ScanNet-like point count, frame count and image size) flows
+through projection -> refinement, and the steady-state scenes/min is
+reported. Reference baselines (BASELINE.md): projection 1.1-4.8 s/scene,
+refinement <1 s/scene on an RTX A5000.
+
+    python tools/bench_pipeline.py [--frames 300] [--points 250000] [--repeat 3]
+"""
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_fullscale_scene(root: str, n_points: int, n_frames: int, rng) -> str:
+    """Full-resolution synthetic scene written in the ScanNet layout."""
+    import cv2
+    import torch
+
+    from beyondff_tpu.config import Config
+    from beyondff_tpu.core import geometry, rle
+    from beyondff_tpu.data import scannet200
+    from beyondff_tpu.utils import io as bio
+
+    w2d, h2d = 1296, 968
+    scene_id = "scene0000_00"
+    pts = rng.uniform([-2, -1.5, 1.0], [2, 1.5, 4.0], (n_points, 3)).astype(np.float32)
+    obj = rng.uniform([-0.4, -0.4, 2.0], [0.4, 0.4, 2.05], (2000, 3)).astype(np.float32)
+    pts[:2000] = obj
+    sem = np.zeros(n_points, np.int32)
+    inst = np.full(n_points, -100, np.int32)
+    sem[:2000] = scannet200.raw_semantic_id("clothes")
+    inst[:2000] = 0
+
+    d2 = os.path.join(root, "Scannet200_2D", scene_id)
+    for sub in ("color", "depth", "pose", "intrinsic"):
+        os.makedirs(os.path.join(d2, sub), exist_ok=True)
+    intr = np.array([[1170.0, 0, w2d / 2], [0, 1170.0, h2d / 2], [0, 0, 1.0]])
+    intr4 = np.eye(4)
+    intr4[:3, :3] = intr
+    np.savetxt(os.path.join(d2, "intrinsic", "intrinsic_color.txt"), intr4)
+
+    # one rendered depth + mask reused across frames (IO cost stays real:
+    # every frame is a distinct file on disk). Depth stored at the real
+    # ScanNet sensor resolution (640x480) like actual data.
+    pcd_h = geometry.homogenize(pts)
+    cam = pcd_h[:3].T
+    uvw = intr @ cam.T
+    uv = np.round(uvw[:2] / cam[:, 2]).astype(np.int64)
+    ok = (cam[:, 2] > 0.1) & (uv[0] >= 0) & (uv[0] < w2d) & (uv[1] >= 0) & (uv[1] < h2d)
+    depth = np.full((h2d, w2d), np.inf)
+    np.minimum.at(depth.ravel(), uv[1, ok] * w2d + uv[0, ok], cam[ok, 2])
+    depth[np.isinf(depth)] = 0
+    depth_native = cv2.resize(depth.astype(np.float32), (640, 480))
+    depth16 = (depth_native * 1000).astype(np.uint16)
+    mask2d = np.zeros((h2d, w2d), np.uint8)
+    sel = ok[:2000]
+    mask2d[uv[1, :2000][sel], uv[0, :2000][sel]] = 1
+    mask2d = cv2.dilate(mask2d, np.ones((5, 5), np.uint8)).astype(bool)
+
+    pose = np.eye(4)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)  # tiny color files
+    records = []
+    det_every = 4  # 1 in 4 frames carries detections
+    for fi in range(n_frames):
+        np.savetxt(os.path.join(d2, "pose", f"{fi}.txt"), pose)
+        cv2.imwrite(os.path.join(d2, "depth", f"{fi}.png"), depth16)
+        cv2.imwrite(os.path.join(d2, "color", f"{fi}.jpg"), img)
+        if fi % det_every == 0:
+            records.append({
+                "frame_id": f"{fi}.jpg",
+                "segmented_frame_masks": mask2d[None, None].copy(),
+                "confidences": [0.9],
+                "labels": ["clothes"],
+            })
+    rle.encode_frame_masks(records)
+    bio.save_frame_records(os.path.join(root, "mask_2d", "clothes", f"{scene_id}.pth"), records)
+
+    d3 = os.path.join(root, "Scannet200_3D")
+    os.makedirs(os.path.join(d3, "original_npy_files"), exist_ok=True)
+    os.makedirs(os.path.join(d3, "groundtruth"), exist_ok=True)
+    np.save(os.path.join(d3, "original_npy_files", f"{scene_id}.npy"),
+            np.concatenate([pts, np.zeros_like(pts)], 1))
+    torch.save((pts, np.zeros_like(pts), sem.astype(np.float64), inst.astype(np.float64)),
+               os.path.join(d3, "groundtruth", f"{scene_id}.pth"))
+
+    s1_dir = os.path.join(root, "stage1")
+    os.makedirs(s1_dir, exist_ok=True)
+    m = inst == 0
+    torch.save({"ins": [rle.rle_encode(m)], "conf": torch.ones(1) * 0.7,
+                "final_class": [scannet200.instance_index("clothes")]},
+               os.path.join(s1_dir, f"{scene_id}.pth"))
+
+    cfg = Config.from_dict({
+        "paths": {
+            "scene_npy_dir": os.path.join(d3, "original_npy_files"),
+            "scene_2d_dir": os.path.join(root, "Scannet200_2D"),
+            "gt_dir": os.path.join(d3, "groundtruth"),
+            "mask_2d_dir": os.path.join(root, "mask_2d"),
+            "mask_3d_dir": os.path.join(root, "mask_3d"),
+            "stage_1_results_dir": s1_dir,
+            "final_output_dir": os.path.join(root, "final_output"),
+            "checkpoint_dir": os.path.join(root, "checkpoints"),
+            "results_dir": os.path.join(root, "eval_results"),
+        },
+        "frames": {"downsample_ratio": 1},
+    })
+    path = os.path.join(root, "config.yaml")
+    cfg.to_yaml(path)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--points", type=int, default=250000)
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--keep", default=None, help="keep the fixture at this path")
+    args = ap.parse_args()
+
+    from beyondff_tpu.config import Config
+    from beyondff_tpu.pipeline import projection, refinement
+
+    root = args.keep or tempfile.mkdtemp(prefix="bffpipe_")
+    print(f"# building full-scale fixture ({args.points} pts, {args.frames} frames)...",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    cfg = Config.from_yaml(build_fullscale_scene(root, args.points, args.frames,
+                                                 np.random.default_rng(0)))
+    print(f"# fixture built in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+
+    # warmup (compiles)
+    t0 = time.time()
+    projection.run(cfg, "clothes", resume=False)
+    refinement.run(cfg, "clothes")
+    print(f"# warmup (incl compiles): {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+
+    times = []
+    for _ in range(args.repeat):
+        t0 = time.time()
+        projection.run(cfg, "clothes", resume=False)
+        refinement.run(cfg, "clothes")
+        times.append(time.time() - t0)
+    per_scene = float(np.median(times))
+    print(f"# per-scene (projection+refinement): {per_scene:.2f}s", file=sys.stderr)
+    import json
+
+    print(json.dumps({
+        "metric": "proj_refine_scenes_per_min",
+        "value": round(60.0 / per_scene, 2),
+        "unit": "scenes/min",
+        # reference: ~2-5 s/scene projection + <1 s refinement => ~12-20/min
+        "vs_baseline": round((60.0 / per_scene) / 15.0, 3),
+    }))
+    if not args.keep:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
