@@ -152,6 +152,14 @@ class CLIP:
         self._encode_image = jax.jit(
             lambda p, x: self.module.apply(p, x, method=CLIPModule.encode_image)
         )
+        mean = jnp.asarray(IMAGE_MEAN)
+        std = jnp.asarray(IMAGE_STD)
+        # uint8 crops normalize on device (4x less upload traffic)
+        self._encode_image_u8 = jax.jit(
+            lambda p, x: self.module.apply(
+                p, (x.astype(jnp.float32) / 255.0 - mean) / std,
+                method=CLIPModule.encode_image)
+        )
         self._encode_text = jax.jit(
             lambda p, t: self.module.apply(p, t, method=CLIPModule.encode_text)
         )
@@ -169,31 +177,35 @@ class CLIP:
         return cls(cfg, params, dtype=dtype)
 
     def encode_image(self, images) -> jnp.ndarray:
-        """(B, H, W, 3) float images already normalized -> (B, embed_dim)."""
-        return self._encode_image(self.params, jnp.asarray(images))
+        """(B, H, W, 3) images -> (B, embed_dim). uint8 inputs normalize on
+        device; float inputs are assumed pre-normalized."""
+        x = jnp.asarray(images)
+        if x.dtype == jnp.uint8:
+            return self._encode_image_u8(self.params, x)
+        return self._encode_image(self.params, x)
 
     def encode_text(self, tokens) -> jnp.ndarray:
         return self._encode_text(self.params, jnp.asarray(tokens, jnp.int32))
 
     # ------------------------------------------------------- preprocessing
     def preprocess(self, images: np.ndarray) -> np.ndarray:
-        """uint8 RGB (B, H, W, 3) -> resized center crop, normalized float32.
+        """uint8 RGB (B, H, W, 3) -> resized center crops, uint8 (normalization
+        runs on device inside encode_image).
 
-        Matches the reference transform: bicubic resize of the short side to
-        224, center crop, normalize (segmentation_2d.py:315-322).
+        Geometry matches the reference transform: bicubic resize of the short
+        side to 224, center crop (segmentation_2d.py:315-322).
         """
         import cv2
 
         n = self.cfg.image_resolution
-        out = np.empty((len(images), n, n, 3), np.float32)
+        out = np.empty((len(images), n, n, 3), np.uint8)
         for i, img in enumerate(images):
             h, w = img.shape[:2]
             scale = n / min(h, w)
             nh, nw = round(h * scale), round(w * scale)
             r = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_CUBIC)
             top, left = (nh - n) // 2, (nw - n) // 2
-            crop = r[top : top + n, left : left + n]
-            out[i] = (crop.astype(np.float32) / 255.0 - IMAGE_MEAN) / IMAGE_STD
+            out[i] = r[top : top + n, left : left + n]
         return out
 
 

@@ -246,7 +246,10 @@ class YOLOWorld:
         self.module = YOLOWorldModule(cfg, dtype=dtype)
         self.clip = clip_model
         self.clip_tokenizer = clip_tokenizer
-        self._forward = jax.jit(lambda p, img, txt: self.module.apply(p, img, txt))
+        # uint8 images normalize to [0,1] on device (4x less upload traffic)
+        self._forward = jax.jit(
+            lambda p, img_u8, txt: self.module.apply(
+                p, img_u8.astype(jnp.float32) / 255.0, txt))
         self._nms = jax.jit(nms_fixed, static_argnames=("top_k",))
         self._text_cache = {}
 
@@ -292,7 +295,7 @@ class YOLOWorld:
         txt = self.class_embeddings(classes)
         h0, w0 = image.shape[:2]
         hh, ww = self.cfg.img_size
-        img = cv2.resize(image, (ww, hh)).astype(np.float32) / 255.0
+        img = cv2.resize(image, (ww, hh))
         boxes, logits = self._forward(self.params, jnp.asarray(img[None]), jnp.asarray(txt))
         boxes = np.asarray(boxes[0], np.float32)
         probs = np.asarray(jax.nn.sigmoid(logits[0].astype(jnp.float32)))

@@ -37,10 +37,12 @@ def test_text_encoding_deterministic_and_eot_pooling(tiny_clip):
 def test_preprocess_shapes(tiny_clip):
     rng = np.random.default_rng(0)
     imgs = [rng.integers(0, 255, (40, 60, 3), dtype=np.uint8) for _ in range(2)]
-    out = tiny_clip.preprocess(np.asarray(imgs, dtype=object) if False else list(imgs))
+    out = tiny_clip.preprocess(list(imgs))
     n = tiny_clip.cfg.image_resolution
     assert out.shape == (2, n, n, 3)
-    assert out.dtype == np.float32
+    assert out.dtype == np.uint8  # normalization happens on device
+    feats = np.asarray(tiny_clip.encode_image(out))
+    assert feats.shape == (2, tiny_clip.cfg.embed_dim)
 
 
 def test_hash_tokenizer_layout():
