@@ -374,6 +374,21 @@ class SAM:
         self.params = params
         self.module = SAMModule(cfg, dtype=dtype)
         self._encode = jax.jit(lambda p, x: self.module.apply(p, x, method=SAMModule.encode))
+        mean = jnp.asarray(PIXEL_MEAN)
+        std = jnp.asarray(PIXEL_STD)
+
+        def encode_u8(p, x_u8, nh, nw):
+            # uint8 upload, normalize on device; the region beyond the resized
+            # image must be exactly 0 after normalization (SAM pads after
+            # normalizing), so mask it explicitly
+            x = (x_u8.astype(jnp.float32) - mean) / std
+            s_img = x.shape[1]
+            rows = jnp.arange(s_img) < nh
+            cols = jnp.arange(s_img) < nw
+            x = x * (rows[:, None] & cols[None, :])[None, :, :, None]
+            return self.module.apply(p, x, method=SAMModule.encode)
+
+        self._encode_u8 = jax.jit(encode_u8, static_argnums=(2, 3))
         self._decode = jax.jit(lambda p, e, b: self.module.apply(p, e, b, method=SAMModule.decode_boxes))
 
     @classmethod
@@ -394,17 +409,18 @@ class SAM:
 
     # ------------------------------------------------------------ inference
     def preprocess(self, images: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int]]:
-        """uint8 RGB (B, H, W, 3) -> normalized, long-side-1024, zero-padded."""
+        """uint8 RGB (B, H, W, 3) -> long-side-1024 zero-padded uint8
+        (normalization + pad masking run on device in encode_image)."""
         import cv2
 
         s = self.cfg.img_size
         b, h, w = images.shape[:3]
         scale = s / max(h, w)
         nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
-        out = np.zeros((b, s, s, 3), np.float32)
+        out = np.zeros((b, s, s, 3), np.uint8)
         for i in range(b):
-            r = cv2.resize(images[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
-            out[i, :nh, :nw] = (r.astype(np.float32) - PIXEL_MEAN) / PIXEL_STD
+            out[i, :nh, :nw] = cv2.resize(images[i], (nw, nh),
+                                          interpolation=cv2.INTER_LINEAR)
         return out, (nh, nw)
 
     def transform_boxes(self, boxes_xyxy: np.ndarray, orig_hw: Tuple[int, int]) -> np.ndarray:
@@ -413,8 +429,10 @@ class SAM:
         scale = self.cfg.img_size / max(h, w)
         return np.asarray(boxes_xyxy, np.float32) * scale
 
-    def encode_image(self, images_normalized) -> jnp.ndarray:
-        x = jnp.asarray(images_normalized)
+    def encode_image(self, images, input_hw: Tuple[int, int] = None) -> jnp.ndarray:
+        """(B, S, S, 3) -> (B, g, g, d). uint8 inputs (from preprocess) carry
+        ``input_hw`` and normalize on device; float inputs are pre-normalized."""
+        x = jnp.asarray(images)
         devices = jax.devices()
         if len(devices) > 1 and x.shape[0] % len(devices) == 0:
             # data-parallel encode: shard the frame batch over all devices
@@ -422,6 +440,9 @@ class SAM:
 
             mesh = Mesh(np.asarray(devices), ("data",))
             x = jax.device_put(x, NamedSharding(mesh, PartitionSpec("data")))
+        if x.dtype == jnp.uint8:
+            nh, nw = input_hw if input_hw is not None else (x.shape[1], x.shape[2])
+            return self._encode_u8(self.params, x, int(nh), int(nw))
         return self._encode(self.params, x)
 
     def decode_boxes(self, embedding, boxes) -> Tuple[jnp.ndarray, jnp.ndarray]:

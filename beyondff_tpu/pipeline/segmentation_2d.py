@@ -191,7 +191,7 @@ class Segmentor2D:
         d = self.cfg.detector
         h, w = images[0].shape[:2]
         x, input_hw = self.sam.preprocess(np.stack(images))
-        embs = np.asarray(self.sam.encode_image(x))
+        embs = np.asarray(self.sam.encode_image(x, input_hw=input_hw))
         out = []
         for i, (boxes_xyxy, _scores, _phrases) in enumerate(dets):
             m = boxes_xyxy.shape[0]
