@@ -19,6 +19,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Tuple
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -63,6 +65,16 @@ PRESETS = {
 # ------------------------------------------------------------ image encoder
 def _rel_pos_bias(q_hw: Tuple[int, int], k_hw: Tuple[int, int], rel_h, rel_w, q):
     """Decomposed relative position bias (SAM's add_decomposed_rel_pos)."""
+    bias_h, bias_w = _rel_pos_factors(q_hw, k_hw, rel_h, rel_w, q)
+    kh, kw = k_hw
+    b = q.shape[0]
+    bias = bias_h[..., :, None] + bias_w[..., None, :]
+    return bias.reshape(b, q_hw[0] * q_hw[1], kh * kw)
+
+
+def _rel_pos_factors(q_hw: Tuple[int, int], k_hw: Tuple[int, int], rel_h, rel_w, q):
+    """Thin factors of the decomposed bias: bias[q, (ky, kx)] =
+    bias_h[q, ky] + bias_w[q, kx]. Returns ((B, S, kh), (B, S, kw))."""
     qh, qw = q_hw
     kh, kw = k_hw
 
@@ -79,10 +91,9 @@ def _rel_pos_bias(q_hw: Tuple[int, int], k_hw: Tuple[int, int], rel_h, rel_w, q)
     rw = get(rel_w, qw, kw)
     b, _, dim = q.shape
     rq = q.reshape(b, qh, qw, dim)
-    bias_h = jnp.einsum("bhwc,hkc->bhwk", rq, rh)
-    bias_w = jnp.einsum("bhwc,wkc->bhwk", rq, rw)
-    bias = bias_h[:, :, :, :, None] + bias_w[:, :, :, None, :]
-    return bias.reshape(b, qh * qw, kh * kw)
+    bias_h = jnp.einsum("bhwc,hkc->bhwk", rq, rh).reshape(b, qh * qw, kh)
+    bias_w = jnp.einsum("bhwc,wkc->bhwk", rq, rw).reshape(b, qh * qw, kw)
+    return bias_h, bias_w
 
 
 class ViTAttention(nn.Module):
@@ -112,6 +123,30 @@ class ViTAttention(nn.Module):
                 from beyondff_tpu.kernels import flash_attention as fa
 
                 out = fa.attend(q, k, v)
+                out = out.reshape(b, self.num_heads, h * w, head_dim)
+                out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+                return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        if self.use_rel_pos and h * w >= 512 and os.environ.get("BFF_SAM_RELPOS_FLASH"):
+            # EXPERIMENTAL, measured SLOWER than XLA on v5e (see
+            # kernels/flash_attention.py attend_relpos): global 4096-token
+            # attention is VPU-softmax-bound, not HBM-bound, so eliminating
+            # the (S, S) score traffic doesn't help and the bias-expansion
+            # selector matmul adds MXU work. Kept behind an env flag for
+            # re-evaluation on parts with a different VPU:MXU ratio.
+            from beyondff_tpu.kernels import dispatch
+            from beyondff_tpu.kernels.flash_attention import relpos_shapes_ok
+
+            if dispatch.on_tpu() and relpos_shapes_ok(h, w):
+                from beyondff_tpu.kernels import flash_attention as fa
+
+                rel_h = self.param("rel_pos_h", nn.initializers.zeros,
+                                   (2 * h - 1, head_dim))
+                rel_w = self.param("rel_pos_w", nn.initializers.zeros,
+                                   (2 * w - 1, head_dim))
+                bias_h, bias_w = _rel_pos_factors(
+                    (h, w), (h, w), rel_h.astype(self.dtype),
+                    rel_w.astype(self.dtype), q)
+                out = fa.attend_relpos(q, k, v, bias_h, bias_w, w)
                 out = out.reshape(b, self.num_heads, h * w, head_dim)
                 out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
                 return nn.Dense(c, dtype=self.dtype, name="proj")(out)

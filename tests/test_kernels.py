@@ -1,5 +1,6 @@
 """Pallas kernels (interpreter mode on CPU) vs XLA/numpy oracles."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,3 +90,55 @@ def test_window_attention_relpos_matches_xla(rng):
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rel_h),
         jnp.asarray(rel_w), wh, ww, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_relpos_matches_xla(rng):
+    """Decomposed rel-pos flash kernel vs the dense-bias XLA formula on a
+    raster-ordered 32x64 grid (two grid rows per kv block)."""
+    from beyondff_tpu.kernels import flash_attention as fa
+
+    bh, gh, gw, d = 3, 8, 64, 32
+    s = gh * gw  # 512: bq=256, bkv=512 -> 8 grid rows/kv block
+    q = rng.normal(size=(bh, s, d)).astype(np.float32)
+    k = rng.normal(size=(bh, s, d)).astype(np.float32)
+    v = rng.normal(size=(bh, s, d)).astype(np.float32)
+    bias_h = rng.normal(size=(bh, s, gh)).astype(np.float32)
+    bias_w = rng.normal(size=(bh, s, gw)).astype(np.float32)
+
+    out = np.asarray(fa.attend_relpos(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(bias_h), jnp.asarray(bias_w), gw, interpret=True))
+
+    bias = (bias_h[:, :, :, None] + bias_w[:, :, None, :]).reshape(bh, s, s)
+    logits = np.einsum("bqd,bkd->bqk", q * d ** -0.5, k) + bias
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    ref = np.einsum("bqk,bkd->bqd", w, v)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sam_global_attention_relpos_kernel_parity(rng, monkeypatch):
+    """The SAM ViTAttention rel-pos kernel branch (forced on) matches the XLA
+    dense-bias path on a global block."""
+    from beyondff_tpu.kernels import dispatch
+    from beyondff_tpu.models import sam as sam_mod
+
+    attn = sam_mod.ViTAttention(num_heads=2, use_rel_pos=True, input_hw=(16, 32),
+                                dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 16, 32, 64)).astype(np.float32))
+    params = attn.init(jax.random.PRNGKey(0), x)
+    # random rel-pos tables (zeros init would hide bias errors)
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape, scale=0.1).astype(np.float32)),
+        params)
+
+    ref = attn.apply(params, x)  # on CPU: dispatch.on_tpu() False -> XLA path
+    from beyondff_tpu.kernels import flash_attention as fa
+
+    real = fa.attend_relpos
+    monkeypatch.setattr(dispatch, "on_tpu", lambda: True)
+    monkeypatch.setenv("BFF_SAM_RELPOS_FLASH", "1")
+    monkeypatch.setattr(fa, "attend_relpos",
+                        lambda *a, **kw: real(*a, interpret=True, **kw))
+    out = attn.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
