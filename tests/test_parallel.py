@@ -166,3 +166,37 @@ def test_sam_finetune_step_decreases_loss(rng):
     dec0 = jax.tree_util.tree_leaves(sam.params["params"]["decoder"])[0]
     dec1 = jax.tree_util.tree_leaves(state.params["params"]["decoder"])[0]
     assert not np.allclose(np.asarray(dec0), np.asarray(dec1))
+
+
+def test_gdino_predict_batch_dp_sharded_matches_per_image(rng):
+    """predict_batch auto-shards over 8 virtual devices when B % ndev == 0;
+    results must match the unsharded per-image path (models/gdino/model.py
+    predict_batch dp branch)."""
+    from beyondff_tpu.models.gdino import GroundingDINO
+
+    gdino = GroundingDINO.create("test")
+    images = [rng.integers(0, 255, (48, 64, 3), dtype=np.uint8) for _ in range(8)]
+    batched = gdino.predict_batch(images, "chair", box_threshold=-1.0)
+    assert len(batched) == 8
+    for img, (boxes, scores, phrases) in zip(images, batched):
+        b1, s1, p1 = gdino.predict(img, "chair", box_threshold=-1.0)
+        np.testing.assert_allclose(boxes, b1, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(scores, s1, rtol=1e-5, atol=1e-6)
+        assert phrases == p1
+
+
+def test_sam_encode_dp_sharded_matches_per_frame(rng):
+    """encode_image's data-parallel branch (B divisible by device count) is
+    numerically identical to per-frame encodes, on the uint8 device-normalize
+    path (models/sam.py encode_image)."""
+    from beyondff_tpu.models import sam as sam_mod
+
+    sam = sam_mod.SAM.create("test")
+    frames = rng.integers(0, 255, (8, 48, 64, 3), dtype=np.uint8)
+    x, input_hw = sam.preprocess(frames)
+    sharded = np.asarray(sam.encode_image(x, input_hw=input_hw))
+    for i in range(8):
+        xi, hw_i = sam.preprocess(frames[i:i + 1])
+        assert hw_i == input_hw
+        single = np.asarray(sam.encode_image(xi, input_hw=hw_i))
+        np.testing.assert_allclose(sharded[i], single[0], rtol=1e-5, atol=1e-6)
