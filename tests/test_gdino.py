@@ -132,3 +132,23 @@ def test_deformable_matmul_and_gather_paths_agree(rng):
                     ref[bi, qi, hi * hd:(hi + 1) * hd] = acc
         np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-5,
                                    err_msg=f"hw={hw}")
+
+
+def test_ms_deform_attn_gather_path_matches_matmul_path(rng, monkeypatch):
+    """Large levels route through the paired-map gather; forcing the same
+    level through the separable-matmul interpolation path must agree
+    (deformable.py _MATMUL_LEVEL_MAX dispatch)."""
+    from beyondff_tpu.models.gdino import deformable as dfm
+
+    h, w, heads, hd, q, p = 36, 36, 2, 4, 7, 3  # h*w=1296 > 1024 -> gather
+    val = rng.normal(size=(1, h * w, heads, hd)).astype(np.float32)
+    # locations spanning in-bounds, edges, and out-of-bounds
+    loc = rng.uniform(-0.2, 1.2, (1, q, heads, 1, p, 2)).astype(np.float32)
+    wgt = rng.uniform(0, 1, (1, q, heads, 1, p)).astype(np.float32)
+
+    out_gather = np.asarray(dfm.ms_deform_attn(
+        jnp.asarray(val), [(h, w)], jnp.asarray(loc), jnp.asarray(wgt)))
+    monkeypatch.setattr(dfm, "_MATMUL_LEVEL_MAX", h * w)
+    out_matmul = np.asarray(dfm.ms_deform_attn(
+        jnp.asarray(val), [(h, w)], jnp.asarray(loc), jnp.asarray(wgt)))
+    np.testing.assert_allclose(out_gather, out_matmul, rtol=1e-4, atol=1e-5)
