@@ -88,8 +88,19 @@ def encode_frame_masks(results: List[Dict]) -> List[Dict]:
 
 
 def decode_frame_masks(results: List[Dict], image_shape=(968, 1296)) -> List[Dict]:
-    """Inverse of :func:`encode_frame_masks`: RLEs -> (M, 1, H, W) uint8."""
+    """Inverse of :func:`encode_frame_masks`: RLEs -> (M, 1, H, W) uint8.
+
+    Also accepts records whose masks are already dense arrays/tensors: the
+    reference's YOLO-World stage saves raw (M, 1, H, W) bool tensors without
+    RLE-encoding them (segmentation_2d_yolo_world.py:634-638), and those
+    files must remain consumable here."""
     for rec in results:
-        masks = rle_decode_batch(rec["segmented_frame_masks"])
+        raw = rec["segmented_frame_masks"]
+        if not (isinstance(raw, (list, tuple)) and raw and isinstance(raw[0], dict)) \
+                and not isinstance(raw, dict):
+            masks = np.asarray(raw, dtype=np.uint8)  # torch tensors coerce too
+            rec["segmented_frame_masks"] = masks.reshape(masks.shape[0], 1, *image_shape)
+            continue
+        masks = rle_decode_batch(raw)
         rec["segmented_frame_masks"] = masks.reshape(masks.shape[0], 1, *image_shape)
     return results

@@ -53,3 +53,28 @@ def test_batch_and_frame_wrappers(rng):
     assert isinstance(records[0]["segmented_frame_masks"], list)
     rle.decode_frame_masks(records, image_shape=(h, w))
     np.testing.assert_array_equal(records[0]["segmented_frame_masks"].astype(bool), masks)
+
+
+def test_decode_frame_masks_accepts_dense_tensors(rng):
+    """The reference's YOLO-World stage saves raw (M, 1, H, W) bool tensors
+    without RLE encoding (segmentation_2d_yolo_world.py:634-638); those
+    records must decode unchanged."""
+    import torch
+
+    from beyondff_tpu.core import rle
+
+    h, w = 12, 16
+    masks = rng.random((3, 1, h, w)) < 0.4
+    records = [
+        {"frame_id": "0.jpg", "segmented_frame_masks": torch.from_numpy(masks)},
+        {"frame_id": "1.jpg", "segmented_frame_masks": []},  # empty detections
+    ]
+    out = rle.decode_frame_masks(records, image_shape=(h, w))
+    np.testing.assert_array_equal(out[0]["segmented_frame_masks"], masks.astype(np.uint8))
+    assert out[1]["segmented_frame_masks"].shape == (0, 1, h, w)
+
+    # RLE-encoded records still round-trip through the same entry point
+    enc = [{"frame_id": "0.jpg", "segmented_frame_masks": masks.copy()}]
+    rle.encode_frame_masks(enc)
+    dec = rle.decode_frame_masks(enc, image_shape=(h, w))
+    np.testing.assert_array_equal(dec[0]["segmented_frame_masks"], masks.astype(np.uint8))
