@@ -59,8 +59,12 @@ class DetectorConfig:
     waffle_word_list_path: str = "./beyondff_tpu/pipeline/waffle_words.json"
     clip_model_size: str = "ViT-L/14"
     similarity_threshold: float = 0.2
-    # phrase filtering
+    # phrase filtering; must_match_class, when set, is matched against the
+    # detected phrase INSTEAD of the query (the reference single-scene
+    # variant's independent gate string, segmentation_2d_single.py:136-146 —
+    # e.g. detect by description but keep boxes phrased as the class name)
     must_match_query: bool = True
+    must_match_class: str = ""
     # fixed-shape padding: max detections per frame kept on device
     max_detections: int = 32
     # checkpoints (user-supplied; torch format accepted by the converters)
@@ -239,6 +243,8 @@ _REFERENCE_KEY_MAP = {
     "refiment_iou_thres": "refinement.iou_thres",
     "final_output_dir": "paths.final_output_dir",
     "base_prompt": "base_prompt",
+    "must_match_base_prompt": "detector.must_match_query",
+    "must_match_class": "detector.must_match_class",
 }
 # reference keys that have no equivalent here (HF download coords etc.)
 _REFERENCE_IGNORED = {
@@ -247,8 +253,6 @@ _REFERENCE_IGNORED = {
     "ckpt_config_filename",
     "sam_url",
     "scene_pcd_path",
-    "must_match_base_prompt",
-    "must_match_class",
     "mask_2d_no_rle_dir",
     "gt_dir",
     "if_detected_ratio",

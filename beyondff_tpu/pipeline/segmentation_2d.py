@@ -163,7 +163,8 @@ class Segmentor2D:
         h, w = image.shape[:2]
         boxes, scores, phrases = detection
         if d.must_match_query and len(phrases):
-            keep = np.array([query in p for p in phrases], bool)
+            needle = d.must_match_class or query
+            keep = np.array([needle in p for p in phrases], bool)
             boxes, scores = boxes[keep], scores[keep]
             phrases = [p for p, k in zip(phrases, keep) if k]
         if boxes.shape[0] == 0:

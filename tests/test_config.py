@@ -85,3 +85,20 @@ def test_structured_yaml_loads():
     cfg = Config.from_dict({"frames": {"downsample_ratio": 2}, "base_prompt": "tv"})
     assert cfg.frames.downsample_ratio == 2 and cfg.base_prompt == "tv"
     assert dataclasses.asdict(cfg)["detector"]["clip_model_size"] == "ViT-L/14"
+
+
+def test_reference_must_match_keys_translate(tmp_path):
+    """The single-scene variant's phrase-gate pair maps onto
+    detector.must_match_query / must_match_class (reference:
+    segmentation_2d_single.py:136-146, sigleviz_config.yaml:2-3)."""
+    import yaml
+
+    from beyondff_tpu.config import Config
+
+    raw = {"base_prompt": "table", "must_match_base_prompt": True,
+           "must_match_class": "hair dryer", "downsample_ratio": 5}
+    path = tmp_path / "ref.yaml"
+    path.write_text(yaml.safe_dump(raw))
+    cfg = Config.from_yaml(str(path))
+    assert cfg.detector.must_match_query is True
+    assert cfg.detector.must_match_class == "hair dryer"
