@@ -276,7 +276,10 @@ class GDINOModule(nn.Module):
         sim = jnp.einsum("bic,btc->bit", enc_out, txt)
         sim = jnp.where(text_pad_mask[:, None, :], sim, -jnp.inf)
         scores = jnp.max(sim, axis=-1)  # (B, I)
-        topk = jnp.argsort(-scores, axis=1)[:, : c.num_queries]
+        # lax.top_k rather than a sliced full argsort (same descending-order
+        # indices; XLA compiles both to the same program on v5e — measured
+        # identical — but top_k states the intent and can't regress)
+        _, topk = jax.lax.top_k(scores, c.num_queries)
 
         sel = jnp.take_along_axis(enc_out, topk[..., None], axis=1)
         enc_box_head = BoxHead(c.hidden, dtype=self.dtype, name="enc_bbox_head")
