@@ -161,6 +161,41 @@ def lift_frames_packed(
 
 
 @functools.partial(jax.jit, static_argnames=("depth_thresh",))
+def lift_frames_rle(
+    pcd_h: jnp.ndarray,  # (4, N)
+    projs: jnp.ndarray,  # (F, 3, 4)
+    depths: jnp.ndarray,  # (F, H, W)
+    run_starts: jnp.ndarray,  # (F, M, R) int32, 0-based, ascending; pad = HW+1
+    run_ends: jnp.ndarray,  # (F, M, R) int32, half-open ends; pad = 0
+    depth_thresh: float = 0.08,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Membership straight from RLE runs: instead of uploading an (H*W) bitmap
+    per frame (4 MB+ at ScanNet resolution), upload each mask's run bounds
+    (KBs) and binary-search every visible point's pixel id against them —
+    runs are disjoint and ascending, so a point is inside mask m iff
+    ``starts[i] <= pid < ends[i]`` for ``i = searchsorted(starts, pid) - 1``.
+    Pad runs use start = HW+1 (> any pid, keeps the array sorted and
+    unreachable). Returns (membership (F, M, N), masked_counts, viewed_counts).
+    """
+
+    def one(proj, depth, st, en):
+        pid, vis = project_and_test(pcd_h, proj, depth, depth_thresh)
+        pidc = jnp.maximum(pid, 0)
+
+        def member_one(st_m, en_m):
+            idx = jnp.searchsorted(st_m, pidc, side="right") - 1
+            inside = (idx >= 0) & (pidc < en_m[jnp.maximum(idx, 0)])
+            return inside & (pid >= 0)
+
+        return jax.vmap(member_one)(st, en), vis
+
+    membership, vis = jax.vmap(one)(projs, depths, run_starts, run_ends)
+    masked_counts = jnp.sum(membership, axis=(0, 1), dtype=jnp.int32)
+    viewed_counts = jnp.sum(vis, axis=0, dtype=jnp.int32)
+    return membership, masked_counts, viewed_counts
+
+
+@functools.partial(jax.jit, static_argnames=("depth_thresh",))
 def lift_frames(
     pcd_h: jnp.ndarray,  # (4, N)
     projs: jnp.ndarray,  # (F, 3, 4)

@@ -52,6 +52,17 @@ def rle_decode(rle: Dict) -> np.ndarray:
     return (np.cumsum(delta[:-1]) > 0).astype(np.uint8)
 
 
+def rle_bounds(rle: Dict) -> "tuple":
+    """0-based half-open run bounds (starts, ends) of an RLE dict — the
+    device lift consumes these directly (geometry.lift_frames_rle) so dense
+    bitmaps never have to be materialized or uploaded."""
+    counts = np.asarray(rle["counts"], dtype=np.int64)
+    if counts.size % 2:
+        raise ValueError(f"malformed RLE: odd counts length {counts.size}")
+    starts = counts[0::2] - 1
+    return starts, starts + counts[1::2]
+
+
 def rle_encode_batch(masks: np.ndarray) -> List[Dict]:
     """Encode (M, L) binary masks to a list of RLE dicts."""
     masks = np.asarray(masks)

@@ -110,8 +110,28 @@ def lift_scene_streamed(
     members: List[np.ndarray] = []
     confs: List[float] = []
     labels: List[str] = []
-    masked_counts = np.zeros(n_pad, np.int64)
-    viewed_counts = np.zeros(n_pad, np.int64)
+    # membership downloads are deferred behind a small window so the next
+    # chunk's upload/compute overlaps the previous chunk's fetch; each
+    # pending entry is (device membership (F, m_pad, N), [m_i per frame])
+    pending: List[tuple] = []
+    _PENDING_MAX = 3
+
+    def _drain(limit: int) -> None:
+        while len(pending) > limit:
+            dev, sizes = pending.pop(0)
+            arr = np.asarray(dev)
+            for i, m_i in enumerate(sizes):
+                members.append(arr[i, :m_i])
+    # counts accumulate ON DEVICE across chunks (one download per scene
+    # instead of two per chunk)
+    acc = {"m": None, "v": None}
+
+    def add_counts(mc, vc):
+        acc["m"] = mc if acc["m"] is None else acc["m"] + mc
+        acc["v"] = vc if acc["v"] is None else acc["v"] + vc
+
+    def add_view(vc):
+        acc["v"] = vc if acc["v"] is None else acc["v"] + vc
 
     def chunk_depths(chunk: List[Dict], f_pad: int):
         """(f_pad, H, W) float32 device depths; raw uint16 frames upload at
@@ -128,10 +148,58 @@ def lift_scene_streamed(
             depths[i] = f["depth"]
         return jnp.asarray(depths)
 
+    # run-count cap for the RLE device path: noisier masks than this upload
+    # as packed bitmaps instead (a run table this size is already ~1 MB)
+    _RLE_RUN_CAP = 16384
+
+    def _dense_masks(f: Dict) -> np.ndarray:
+        if f.get("masks") is None:
+            from beyondff_tpu.core import rle as rle_mod
+
+            flat = rle_mod.rle_decode_batch(f["rles"]).astype(bool)
+            f["masks"] = flat.reshape(flat.shape[0], *target_hw)
+        return f["masks"]
+
     def flush_det(chunk: List[Dict]) -> None:
         f_pad = FRAME_CHUNK
-        m_pad = _bucket(max(f["masks"].shape[0] for f in chunk))
-        h, w = chunk[0]["masks"].shape[-2:]
+        # RLE device path: upload run bounds (KBs) instead of per-pixel
+        # bitmaps (MBs) and binary-search pixel ids on device
+        use_rle = (
+            sharded is None
+            and all(f.get("rles") is not None for f in chunk)
+            and max(len(np.asarray(r["counts"])) for f in chunk for r in f["rles"])
+            <= 2 * _RLE_RUN_CAP
+        )
+        if use_rle:
+            from beyondff_tpu.core import rle as rle_mod
+
+            m_pad = _bucket(max(len(f["rles"]) for f in chunk))
+            r_pad = _bucket(
+                max(len(np.asarray(r["counts"])) // 2 for f in chunk for r in f["rles"]),
+                minimum=64)
+            hw = target_hw[0] * target_hw[1]
+            st = np.full((f_pad, m_pad, r_pad), hw + 1, np.int32)
+            en = np.zeros((f_pad, m_pad, r_pad), np.int32)
+            projs = np.zeros((f_pad, 3, 4), np.float32)
+            for i, f in enumerate(chunk):
+                projs[i] = geometry.fuse_projection(cam_intr, f["pose"]).astype(np.float32)
+                for j, r in enumerate(f["rles"]):
+                    s0, e0 = rle_mod.rle_bounds(r)
+                    st[i, j, : len(s0)] = s0
+                    en[i, j, : len(e0)] = e0
+            depths = chunk_depths(chunk, f_pad)
+            membership, mc, vc = geometry.lift_frames_rle(
+                pcd_dev, jnp.asarray(projs), depths, jnp.asarray(st), jnp.asarray(en),
+                depth_thresh)
+            add_counts(mc, vc)
+            pending.append((membership, [len(f["rles"]) for f in chunk]))
+            for f in chunk:
+                confs.extend(float(c) for c in f["confidences"])
+                labels.extend(f["labels"])
+            _drain(_PENDING_MAX)
+            return
+        m_pad = _bucket(max(_dense_masks(f).shape[0] for f in chunk))
+        h, w = _dense_masks(chunk[0]).shape[-2:]
         projs = np.zeros((f_pad, 3, 4), np.float32)
         for i, f in enumerate(chunk):
             projs[i] = geometry.fuse_projection(cam_intr, f["pose"]).astype(np.float32)
@@ -166,14 +234,12 @@ def lift_scene_streamed(
                 pcd_dev, jnp.asarray(projs), depths, jnp.asarray(masks),
                 jnp.asarray(valid), depth_thresh,
             )
-        membership = np.asarray(membership)
-        masked_counts[:] += np.asarray(mc, np.int64)
-        viewed_counts[:] += np.asarray(vc, np.int64)
-        for i, f in enumerate(chunk):
-            m_i = f["masks"].shape[0]
-            members.append(membership[i, :m_i])
+        add_counts(mc, vc)
+        pending.append((membership, [f["masks"].shape[0] for f in chunk]))
+        for f in chunk:
             confs.extend(float(c) for c in f["confidences"])
             labels.extend(f["labels"])
+        _drain(_PENDING_MAX)
 
     def flush_view(chunk: List[Dict]) -> None:
         projs = np.zeros((VIEW_CHUNK, 3, 4), np.float32)
@@ -184,12 +250,13 @@ def lift_scene_streamed(
             vc = sharded["view"](pcd_dev, jnp.asarray(projs), depths)
         else:
             vc = geometry.view_counts(pcd_dev, jnp.asarray(projs), depths, depth_thresh)
-        viewed_counts[:] += np.asarray(vc, np.int64)
+        add_view(vc)
 
     det_buf: List[Dict] = []
     view_buf: List[Dict] = []
     for f in frames_iter:
-        has_masks = f.get("masks") is not None and len(f["masks"]) and f["frame_id"] in det_frame_ids
+        det = f.get("rles") if f.get("rles") is not None else f.get("masks")
+        has_masks = det is not None and len(det) and f["frame_id"] in det_frame_ids
         if has_masks:
             det_buf.append(f)
             if len(det_buf) == FRAME_CHUNK:
@@ -205,6 +272,11 @@ def lift_scene_streamed(
     if view_buf:
         flush_view(view_buf)
 
+    _drain(0)
+    masked_counts = (np.zeros(n_pad, np.int64) if acc["m"] is None
+                     else np.asarray(acc["m"], np.int64))
+    viewed_counts = (np.zeros(n_pad, np.int64) if acc["v"] is None
+                     else np.asarray(acc["v"], np.int64))
     if members:
         membership = np.concatenate(members)[:, :n]
     else:
@@ -232,7 +304,6 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
         alt = rec_path[:-3] + ("npz" if ext == "pth" else "pth")
         rec_path = alt if os.path.exists(alt) else rec_path
     records = bio.load_frame_records(rec_path)
-    records = rle.decode_frame_masks(records, image_shape=(cfg.frames.height_2d, cfg.frames.width_2d))
     by_frame = {str(r["frame_id"]).rsplit(".", 1)[0]: r for r in records}
 
     frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id, cfg.frames.downsample_ratio)
@@ -247,8 +318,12 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
             f["depth"] = reader.depth(fid, size=size)
         rec = by_frame.get(fid)
         if rec is not None:
-            masks = np.asarray(rec["segmented_frame_masks"])
-            f["masks"] = masks[:, 0].astype(bool)  # (M, H, W)
+            raw = rec["segmented_frame_masks"]
+            if isinstance(raw, (list, tuple)) and (not raw or isinstance(raw[0], dict)):
+                f["rles"] = list(raw)  # stays compressed; device decodes
+            else:
+                masks = np.asarray(raw)  # dense (reference YOLO-World files)
+                f["masks"] = masks[:, 0].astype(bool)  # (M, H, W)
             f["confidences"] = np.asarray(rec["confidences"], np.float32)
             f["labels"] = list(rec["labels"])
         return f

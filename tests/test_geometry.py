@@ -134,3 +134,41 @@ def test_prepare_depth_matches_cv2(rng):
     # same-resolution path: exact
     same = np.asarray(geometry.prepare_depth(jnp.asarray(raw), (60, 80), 1000.0))
     np.testing.assert_allclose(same, raw.astype(np.float32) / 1000.0, rtol=1e-6)
+
+
+def test_lift_frames_rle_matches_dense(rng):
+    """RLE-driven device lift (searchsorted over run bounds, no bitmap
+    upload) is exactly equivalent to the dense path, including empty masks
+    and out-of-view points."""
+    import jax.numpy as jnp
+
+    from beyondff_tpu.core import geometry, rle
+
+    n, h, w, m, f = 400, 18, 26, 3, 4
+    pcd_h = geometry.homogenize(rng.uniform([-1, -1, 1], [1, 1, 3], (n, 3)))
+    intr = np.array([[14.0, 0, w / 2], [0, 14.0, h / 2], [0, 0, 1.0]])
+    projs = np.stack([geometry.fuse_projection(intr, np.eye(4)).astype(np.float32)] * f)
+    depths = rng.uniform(1, 3, (f, h, w)).astype(np.float32)
+    masks = rng.random((f, m, h * w)) < 0.3
+    masks[0, 0] = False  # empty mask edge case
+    valid = np.ones((f, m), bool)
+
+    ref, mc, vc = geometry.lift_frames(
+        jnp.asarray(pcd_h), jnp.asarray(projs), jnp.asarray(depths),
+        jnp.asarray(masks), jnp.asarray(valid))
+
+    r_pad = 256
+    st = np.full((f, m, r_pad), h * w + 1, np.int32)
+    en = np.zeros((f, m, r_pad), np.int32)
+    for i in range(f):
+        for j in range(m):
+            s0, e0 = rle.rle_bounds(rle.rle_encode(masks[i, j]))
+            assert len(s0) <= r_pad
+            st[i, j, : len(s0)] = s0
+            en[i, j, : len(e0)] = e0
+    out, mc2, vc2 = geometry.lift_frames_rle(
+        jnp.asarray(pcd_h), jnp.asarray(projs), jnp.asarray(depths),
+        jnp.asarray(st), jnp.asarray(en))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(mc2), np.asarray(mc))
+    np.testing.assert_array_equal(np.asarray(vc2), np.asarray(vc))
