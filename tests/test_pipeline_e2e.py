@@ -146,3 +146,39 @@ def test_projection_with_no_detections(tmp_path):
         os.path.join(cfg.paths.final_output_dir, "towel", "scene0000_00.pth"))
     assert len(fin["final_class"]) == 2  # the two 'towel' stage-1 masks, conf 0.5
     np.testing.assert_allclose(np.asarray(fin["conf"]), 0.5)
+
+
+def test_projection_dense_mask_records_match_rle(tmp_path):
+    """The dense-mask fallback (reference YOLO-World stage files, and masks
+    above the RLE run cap) must produce the same 3D output as the default
+    RLE-on-device lift path."""
+    import copy
+
+    import torch
+
+    import make_synthetic_scene
+    from beyondff_tpu.core import rle
+
+    root = str(tmp_path / "scene")
+    cfg = Config.from_yaml(make_synthetic_scene.generate(root, query="clothes", seed=11))
+    ref_out = projection.run(cfg, "clothes", resume=False)
+    ref = bio.load_stage_dict(
+        os.path.join(cfg.paths.mask_3d_dir, "clothes", "scene0000_00.pth"))
+
+    # rewrite the stage file with dense bool tensors (no RLE)
+    rec_path = os.path.join(cfg.paths.mask_2d_dir, "clothes", "scene0000_00.pth")
+    records = bio.load_frame_records(rec_path)
+    records = rle.decode_frame_masks(
+        records, image_shape=(cfg.frames.height_2d, cfg.frames.width_2d))
+    for r in records:
+        r["segmented_frame_masks"] = torch.from_numpy(
+            np.asarray(r["segmented_frame_masks"]).astype(bool))
+    torch.save(records, rec_path)
+
+    dense_out = projection.run(cfg, "clothes", resume=False)
+    out = bio.load_stage_dict(
+        os.path.join(cfg.paths.mask_3d_dir, "clothes", "scene0000_00.pth"))
+    assert ref_out[0]["instances"] == dense_out[0]["instances"]
+    np.testing.assert_array_equal(np.asarray(out["ins"]), np.asarray(ref["ins"]))
+    np.testing.assert_allclose(np.asarray(out["conf"]), np.asarray(ref["conf"]))
+    assert list(out["final_class"]) == list(ref["final_class"])
