@@ -69,6 +69,29 @@ def make_sharded_lift_packed(mesh: Mesh, n_masks: int = 32, depth_thresh: float 
     return jax.jit(fn)
 
 
+def make_sharded_lift_rle(mesh: Mesh, depth_thresh: float = 0.08,
+                          data_axis: str = "data"):
+    """Frame-sharded RLE lift (see geometry.lift_frames_rle): per-mask run
+    bounds shard over the data axis with the frames; counts psum-reduce.
+    Signature: (pcd_h, projs, depths, run_starts, run_ends)."""
+
+    def local(pcd_h, projs, depths, run_starts, run_ends):
+        membership, masked_counts, viewed_counts = geometry.lift_frames_rle(
+            pcd_h, projs, depths, run_starts, run_ends, depth_thresh
+        )
+        masked_counts = jax.lax.psum(masked_counts, data_axis)
+        viewed_counts = jax.lax.psum(viewed_counts, data_axis)
+        return membership, masked_counts, viewed_counts
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis), P(data_axis), P(data_axis), P(data_axis)),
+        out_specs=(P(data_axis), P(), P()),
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_view_counts(mesh: Mesh, depth_thresh: float = 0.08, data_axis: str = "data"):
     """Frame-sharded visibility counting with a psum reduce."""
 

@@ -104,6 +104,7 @@ def lift_scene_streamed(
         sharded = {
             "view": plift.make_sharded_view_counts(mesh, depth_thresh),
             "packed": {},  # n_masks -> compiled fn
+            "rle": None,  # compiled on first RLE chunk (shapes are bucketed)
             "mesh": mesh,
         }
 
@@ -165,8 +166,7 @@ def lift_scene_streamed(
         # RLE device path: upload run bounds (KBs) instead of per-pixel
         # bitmaps (MBs) and binary-search pixel ids on device
         use_rle = (
-            sharded is None
-            and all(f.get("rles") is not None for f in chunk)
+            all(f.get("rles") is not None for f in chunk)
             and max(len(np.asarray(r["counts"])) for f in chunk for r in f["rles"])
             <= 2 * _RLE_RUN_CAP
         )
@@ -188,9 +188,19 @@ def lift_scene_streamed(
                     st[i, j, : len(s0)] = s0
                     en[i, j, : len(e0)] = e0
             depths = chunk_depths(chunk, f_pad)
-            membership, mc, vc = geometry.lift_frames_rle(
-                pcd_dev, jnp.asarray(projs), depths, jnp.asarray(st), jnp.asarray(en),
-                depth_thresh)
+            if sharded is not None:
+                if sharded["rle"] is None:
+                    from beyondff_tpu.parallel import lift as plift
+
+                    sharded["rle"] = plift.make_sharded_lift_rle(
+                        sharded["mesh"], depth_thresh=depth_thresh)
+                membership, mc, vc = sharded["rle"](
+                    pcd_dev, jnp.asarray(projs), depths, jnp.asarray(st),
+                    jnp.asarray(en))
+            else:
+                membership, mc, vc = geometry.lift_frames_rle(
+                    pcd_dev, jnp.asarray(projs), depths, jnp.asarray(st),
+                    jnp.asarray(en), depth_thresh)
             add_counts(mc, vc)
             pending.append((membership, [len(f["rles"]) for f in chunk]))
             for f in chunk:

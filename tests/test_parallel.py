@@ -200,3 +200,37 @@ def test_sam_encode_dp_sharded_matches_per_frame(rng):
         assert hw_i == input_hw
         single = np.asarray(sam.encode_image(xi, input_hw=hw_i))
         np.testing.assert_allclose(sharded[i], single[0], rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_lift_rle_matches_single_device(rng):
+    """RLE lift under shard_map (frames over data axis, psum counts) equals
+    the single-device lift_frames_rle."""
+    import jax.numpy as jnp
+
+    from beyondff_tpu.core import rle as rle_mod
+
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    n, h, w, m, f = 256, 16, 24, 2, 8
+    pcd_h = geometry.homogenize(rng.uniform([-1, -1, 1], [1, 1, 3], (n, 3)))
+    intr = np.array([[12.0, 0, w / 2], [0, 12.0, h / 2], [0, 0, 1.0]])
+    projs = np.stack([
+        geometry.fuse_projection(intr, np.eye(4)).astype(np.float32) for _ in range(f)])
+    depths = rng.uniform(1, 3, (f, h, w)).astype(np.float32)
+    masks = rng.random((f, m, h * w)) < 0.4
+    r_pad = 256
+    st = np.full((f, m, r_pad), h * w + 1, np.int32)
+    en = np.zeros((f, m, r_pad), np.int32)
+    for i in range(f):
+        for j in range(m):
+            s0, e0 = rle_mod.rle_bounds(rle_mod.rle_encode(masks[i, j]))
+            st[i, j, : len(s0)] = s0
+            en[i, j, : len(e0)] = e0
+
+    ref = geometry.lift_frames_rle(
+        jnp.asarray(pcd_h), jnp.asarray(projs), jnp.asarray(depths),
+        jnp.asarray(st), jnp.asarray(en))
+    fn = plift.make_sharded_lift_rle(mesh)
+    out = fn(jnp.asarray(pcd_h), jnp.asarray(projs), jnp.asarray(depths),
+             jnp.asarray(st), jnp.asarray(en))
+    for a, b in zip(out, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
