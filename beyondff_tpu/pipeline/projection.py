@@ -81,6 +81,7 @@ def lift_scene_streamed(
     depth_thresh: float = 0.08,
     target_hw=None,
     depth_scale: float = 1000.0,
+    need_viewed: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, List[float], List[str], np.ndarray, np.ndarray]:
     """Streaming lift: consumes frames from an iterator (typically wrapped in
     a background prefetcher) and dispatches fixed-shape device chunks as they
@@ -272,7 +273,9 @@ def lift_scene_streamed(
             if len(det_buf) == FRAME_CHUNK:
                 flush_det(det_buf)
                 det_buf = []
-        else:
+        elif need_viewed:
+            # occurrence-mode filtering never reads viewed_counts, so frames
+            # without detections skip the device entirely
             view_buf.append(f)
             if len(view_buf) == VIEW_CHUNK:
                 flush_view(view_buf)
@@ -319,14 +322,19 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
     frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id, cfg.frames.downsample_ratio)
 
     device_resize = cfg.frames.device_depth_resize
+    # viewed_counts feed only the detected-ratio point filter; in occurrence
+    # mode the non-detection frames (and their depth decode/upload) are skipped
+    need_viewed = (cfg.filtering.use_detected_ratio_threshold
+                   and not cfg.filtering.use_occurrence_threshold)
 
     def load_frame(fid: str) -> Dict:
         f: Dict = {"frame_id": fid, "pose": reader.pose(fid)}
-        if device_resize:
-            f["depth_raw"] = reader.depth_raw(fid)
-        else:
-            f["depth"] = reader.depth(fid, size=size)
         rec = by_frame.get(fid)
+        if need_viewed or rec is not None:
+            if device_resize:
+                f["depth_raw"] = reader.depth_raw(fid)
+            else:
+                f["depth"] = reader.depth(fid, size=size)
         if rec is not None:
             raw = rec["segmented_frame_masks"]
             if isinstance(raw, (list, tuple)) and (not raw or isinstance(raw[0], dict)):
@@ -348,7 +356,7 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
         membership, confs, labels, masked_counts, viewed_counts = lift_scene_streamed(
             pcd, cam_intr, frames_iter, set(by_frame), cfg.frames.depth_thresh,
             target_hw=(cfg.frames.height_2d, cfg.frames.width_2d),
-            depth_scale=cfg.frames.depth_scale,
+            depth_scale=cfg.frames.depth_scale, need_viewed=need_viewed,
         )
 
     out_path = os.path.join(p.mask_3d_dir, class_name, f"{scene_id}.{ext}")
