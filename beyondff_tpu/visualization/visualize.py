@@ -142,6 +142,53 @@ class SceneVisualizer:
         )
         return self._masks_to_ply(f"mask2d_{class_name}_f{fid}", member, rec["labels"])
 
+    def frame_overlay(self, class_name: str, frame_index: int = 0) -> str:
+        """Annotated 2D frame: boxes (when recorded) and alpha-blended masks
+        drawn on the RGB frame (reference: segmentation_2d_single.py:199-230
+        draw_mask + supervision annotate; the reference's draw=True output).
+        Returns the written PNG path."""
+        import cv2
+
+        recs = bio.load_frame_records(
+            os.path.join(self.cfg.paths.mask_2d_dir, class_name, f"{self.scene_id}.pth"))
+        rle.decode_frame_masks(
+            recs, image_shape=(self.cfg.frames.height_2d, self.cfg.frames.width_2d))
+        rec = recs[frame_index]
+        from beyondff_tpu.data.readers import build_dataset
+
+        reader = build_dataset(self.cfg.paths.dataset,
+                               os.path.join(self.cfg.paths.scene_2d_dir, self.scene_id))
+        fid = str(rec["frame_id"]).rsplit(".", 1)[0]
+        img = reader.image(fid)
+        h, w = img.shape[:2]
+        masks = np.asarray(rec["segmented_frame_masks"])[:, 0].astype(bool)
+        if masks.shape[-2:] != (h, w):
+            masks = np.stack([
+                cv2.resize(m.astype(np.uint8), (w, h),
+                           interpolation=cv2.INTER_NEAREST).astype(bool) for m in masks])
+        out = img.astype(np.float32)
+        colors = _palette(max(len(masks), 1), seed=1).astype(np.float32)
+        for i, m in enumerate(masks):
+            out[m] = 0.4 * out[m] + 0.6 * colors[i][None, :]
+        out = out.astype(np.uint8)
+        for i, m in enumerate(masks):
+            ys, xs = np.nonzero(m)
+            if not len(ys):
+                continue
+            c = tuple(int(v) for v in colors[i])
+            cv2.rectangle(out, (xs.min(), ys.min()), (xs.max(), ys.max()), c, 2)
+            label = str(rec["labels"][i]) if i < len(rec.get("labels", [])) else ""
+            conf = rec.get("confidences")
+            if conf is not None and i < len(conf):
+                label = f"{label} {float(conf[i]):.2f}"
+            cv2.putText(out, label, (int(xs.min()), max(12, int(ys.min()) - 4)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, c, 1, cv2.LINE_AA)
+        os.makedirs(self.out_dir, exist_ok=True)
+        path = os.path.join(self.out_dir, f"{self.scene_id}_{class_name}_f{fid}_2d.png")
+        if not cv2.imwrite(path, out[..., ::-1]):  # RGB -> BGR for imwrite
+            raise IOError(f"failed to write {path}")
+        return path
+
     def snapshot_png(self, ply_path: str) -> str:
         """Orthographic top + front scatter snapshot of an exported ply."""
         import matplotlib

@@ -48,3 +48,34 @@ def test_snapshot_png(tmp_path, rng):
     import os
 
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_frame_overlay(tmp_path):
+    """2D annotated-frame export (reference draw=True output): masks blend
+    into the RGB frame, boxes and labels drawn, PNG written."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import make_synthetic_scene
+
+    from beyondff_tpu.config import Config
+    from beyondff_tpu.visualization.visualize import SceneVisualizer
+
+    root = str(tmp_path / "scene")
+    cfg = Config.from_yaml(make_synthetic_scene.generate(root, query="clothes", seed=5))
+    viz = SceneVisualizer(cfg, "scene0000_00", out_dir=str(tmp_path / "viz"))
+    path = viz.frame_overlay("clothes")
+    assert os.path.exists(path) and path.endswith("_2d.png")
+    import cv2
+
+    out = cv2.imread(path)
+    assert out is not None and out.ndim == 3 and out.shape[2] == 3
+    # the blend must have recolored the masked region vs the raw frame
+    from beyondff_tpu.data.readers import build_dataset
+
+    reader = build_dataset(cfg.paths.dataset,
+                           os.path.join(cfg.paths.scene_2d_dir, "scene0000_00"))
+    raw = reader.image("0")
+    assert out.shape[:2] == raw.shape[:2]
+    assert (out[..., ::-1] != raw).any()

@@ -4,7 +4,7 @@ PLY (+ optional PNG snapshots). Equivalent of the reference's pyviz3d toggles
 (reference: visualization/visualize_scannet200.py:651-722).
 
     python tools/visualize.py --config config.yaml --scene scene0435_00 \
-        --cls clothes --modes gt,stage1,mask3d,refined --png
+        --cls clothes --modes gt,stage1,mask3d,refined,frame2d --png
 """
 
 import argparse
@@ -41,6 +41,13 @@ def main():
             outputs.append(viz.lifted_masks(args.cls))
         elif mode == "mask2d":
             outputs.append(viz.lifted_2d_frame(args.cls))
+        elif mode == "frame2d":
+            # annotated RGB frame: boxes + alpha-blended masks (the
+            # reference single-scene variant's draw=True output)
+            path = viz.frame_overlay(args.cls)
+            outputs.append(path)
+            print(f"wrote {path}")
+            continue
         elif mode == "refined":
             outputs.append(viz.refined_masks(args.cls))
         else:
