@@ -152,8 +152,6 @@ def test_projection_dense_mask_records_match_rle(tmp_path):
     """The dense-mask fallback (reference YOLO-World stage files, and masks
     above the RLE run cap) must produce the same 3D output as the default
     RLE-on-device lift path."""
-    import copy
-
     import torch
 
     import make_synthetic_scene
