@@ -168,7 +168,10 @@ def lift_scene_streamed(
         # bitmaps (MBs) and binary-search pixel ids on device
         use_rle = (
             all(f.get("rles") is not None for f in chunk)
-            and max(len(np.asarray(r["counts"])) for f in chunk for r in f["rles"])
+            # string-form counts (the reference's space-separated variant)
+            # take the dense fallback, which decodes them on host
+            and not any(isinstance(r["counts"], str) for f in chunk for r in f["rles"])
+            and max(np.asarray(r["counts"]).size for f in chunk for r in f["rles"])
             <= 2 * _RLE_RUN_CAP
         )
         if use_rle:
