@@ -99,7 +99,8 @@ class ScanNetEval:
 
     # ------------------------------------------------------------ matching
     def assign_instances_for_scan(
-        self, preds: Sequence[Dict], gt_sem: np.ndarray, gt_ins: np.ndarray
+        self, preds: Sequence[Dict], gt_sem: np.ndarray, gt_ins: np.ndarray,
+        scene_key: str = "",
     ) -> _SceneMatch:
         ids = self.encode_gt(gt_sem, gt_ins)
 
@@ -139,7 +140,9 @@ class ScanNetEval:
                 continue
 
             rec = _PredInstance(
-                pred_key=f"{pred.get('scan_id', '')}_{num_pred}",
+                # scene_key makes the greedy `visited` key collision-proof even
+                # when callers omit scan_id (the reference KeyErrors there)
+                pred_key=f"{scene_key}_{pred.get('scan_id', '')}_{num_pred}",
                 label_id=label_id,
                 vert_count=vert_count,
                 confidence=float(pred["conf"]),
@@ -161,7 +164,7 @@ class ScanNetEval:
 
     def assign_boxes_for_scan(
         self, preds: Sequence[Dict], gt_sem: np.ndarray, gt_ins: np.ndarray,
-        coords: np.ndarray,
+        coords: np.ndarray, scene_key: str = "",
     ) -> _SceneMatch:
         """Axis-aligned 3D box-IoU matching (reference: scannetv2_inst_eval.py
         :366-459): GT boxes from per-instance coordinate extents, preds carry
@@ -197,7 +200,7 @@ class ScanNetEval:
             box = np.asarray(pred["box"], np.float64)
             pred_vol = float(np.prod(np.clip(box[3:] - box[:3], 0, None)))
             rec = _PredInstance(
-                pred_key=f"{pred.get('scan_id', '')}_{num_pred}",
+                pred_key=f"{scene_key}_{pred.get('scan_id', '')}_{num_pred}",
                 label_id=label_id, vert_count=1, confidence=float(pred["conf"]),
                 void_intersection=0,
             )
@@ -215,15 +218,31 @@ class ScanNetEval:
         return _SceneMatch(gts=gts, preds=preds_out)
 
     def evaluate_box(
-        self, pred_list, gt_sem_list, gt_ins_list, coords_list, verbose: bool = True
+        self, pred_list, gt_sem_list, gt_ins_list, coords_list, verbose: bool = True,
+        workers: int = 1,
     ) -> Dict:
         """Box-IoU AP over scenes (reference: scannetv2_inst_eval.py:608-636).
-        preds per scene: {scan_id, label_id, conf, box (6,) min/max corners}."""
-        scenes = [
-            self.assign_boxes_for_scan(pred_list[i], gt_sem_list[i], gt_ins_list[i],
-                                       coords_list[i])
-            for i in range(len(gt_sem_list))
-        ]
+        preds per scene: {scan_id, label_id, conf, box (6,) min/max corners}.
+
+        ``workers > 1`` fans the per-scene matching over a process pool like
+        the reference's ``mp.Pool(16)`` (scannetv2_inst_eval.py:620-623);
+        the default stays serial because matching is cheap relative to pool
+        pickling on few-core hosts."""
+        if workers > 1 and len(gt_sem_list) > 1:
+            from concurrent.futures import ProcessPoolExecutor
+
+            with ProcessPoolExecutor(max_workers=workers) as pool:
+                scenes = list(pool.map(
+                    self.assign_boxes_for_scan, pred_list, gt_sem_list,
+                    gt_ins_list, coords_list,
+                    [str(i) for i in range(len(gt_sem_list))],
+                ))
+        else:
+            scenes = [
+                self.assign_boxes_for_scan(pred_list[i], gt_sem_list[i], gt_ins_list[i],
+                                           coords_list[i], scene_key=str(i))
+                for i in range(len(gt_sem_list))
+            ]
         ap, rc = self.evaluate_matches(scenes)
         avgs = self.compute_averages(ap, rc)
         if verbose:
@@ -347,7 +366,8 @@ class ScanNetEval:
     ) -> Dict:
         """preds per scene: dicts {scan_id, label_id (1-based), conf, pred_mask (N,)}."""
         scenes = [
-            self.assign_instances_for_scan(pred_list[i], gt_sem_list[i], gt_ins_list[i])
+            self.assign_instances_for_scan(pred_list[i], gt_sem_list[i], gt_ins_list[i],
+                                           scene_key=str(i))
             for i in range(len(gt_sem_list))
         ]
         ap, rc = self.evaluate_matches(scenes, collect_pr=True)

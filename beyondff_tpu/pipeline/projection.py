@@ -323,6 +323,18 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
     by_frame = {str(r["frame_id"]).rsplit(".", 1)[0]: r for r in records}
 
     frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id, cfg.frames.downsample_ratio)
+    # the reference lifts every record stored in the 2D stage file
+    # (projection_2d_to_3d.py:413) — if the 2D outputs were produced at a
+    # different frame interval than this config, the listing would silently
+    # drop detections; union them in (numeric order, like the listing).
+    # Deviation in this mismatch case only: the fused lift also counts these
+    # extra frames as viewed, while the reference's viewed pass covers just
+    # the downsampled listing (projection_2d_to_3d.py:527-532)
+    missing = set(by_frame) - set(frame_ids)
+    if missing:
+        print(f"[projection] warning: {len(missing)} detection frames not in the "
+              f"downsample-{cfg.frames.downsample_ratio} listing for {scene_id}; lifting them too")
+        frame_ids = frame_ids + sorted(missing, key=lambda s: (len(s), s))
 
     device_resize = cfg.frames.device_depth_resize
     # viewed_counts feed only the detected-ratio point filter; in occurrence

@@ -139,16 +139,40 @@ class Segmentor2D:
     def filter_boxes_with_clip(self, image: np.ndarray, boxes_xyxy: np.ndarray,
                                query: str) -> np.ndarray:
         """Keep boxes whose crop's CLIP similarity >= threshold. Returns
-        (keep_mask, similarities)."""
+        (keep_mask, similarities).
+
+        Crop-source parity: the reference crops from the DETECTOR-transformed
+        tensor, not the raw frame, and casts back to uint8 with `* 255` whose
+        wraparound it inherits. GDINO mode crops the ImageNet-normalized
+        resized tensor (bbox_filter, segmentation_2d.py:345-380: values in
+        ~[-2.1, 2.6] so `(x*255).astype(uint8)` wraps); YOLO-World mode crops
+        the raw uint8 frame where `x*255` wraps to (-x) mod 256
+        (segmentation_2d_yolo_world.py:505-515). Both wraparounds are
+        reproduced bit-exactly; the only deviation is the resize geometry —
+        the detector input here is fixed cfg.image_size instead of the
+        reference's aspect-preserving short-side-800 resize (PARITY.md)."""
         h, w = image.shape[:2]
+        if self.cfg.detector.kind == "yolo_world":
+            src = image  # raw uint8 frame; boxes already at frame resolution
+            sx = sy = 1.0
+        else:
+            import cv2
+
+            from beyondff_tpu.models.gdino.model import IMAGE_MEAN, IMAGE_STD
+
+            gh, gw = self.detector.cfg.image_size
+            resized = cv2.resize(image, (gw, gh), interpolation=cv2.INTER_LINEAR)
+            src = (resized.astype(np.float32) / 255.0 - IMAGE_MEAN) / IMAGE_STD
+            sx, sy = gw / w, gh / h
+        sh, sw = src.shape[:2]
         crops = []
-        for x0, y0, x1, y1 in boxes_xyxy:
-            x0, y0 = max(0, int(x0)), max(0, int(y0))
-            x1, y1 = min(w, int(x1)), min(h, int(y1))
+        for bx0, by0, bx1, by1 in boxes_xyxy:
+            x0, y0 = max(0, int(bx0 * sx)), max(0, int(by0 * sy))
+            x1, y1 = min(sw, int(bx1 * sx)), min(sh, int(by1 * sy))
             if x1 <= x0 or y1 <= y0:
                 crops.append(np.zeros((2, 2, 3), np.uint8))
                 continue
-            crops.append(image[y0:y1, x0:x1])
+            crops.append((src[y0:y1, x0:x1] * 255).astype(np.uint8))
         batch = self.clip.preprocess(crops)
         feats = np.asarray(self.clip.encode_image(batch), np.float32)
         feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
@@ -171,7 +195,10 @@ class Segmentor2D:
             return None
 
         boxes_xyxy = box_cxcywh_to_xyxy(boxes, w, h)
-        if self.clip is not None:
+        # gate on the config flag, not CLIP availability: YOLO-World mode
+        # always loads CLIP (class embeddings) but only filters when asked
+        # (reference: segmentation_2d_yolo_world.py:213-224)
+        if self.clip is not None and d.filter_with_clip:
             keep, sims = self.filter_boxes_with_clip(image, boxes_xyxy, query)
             boxes_xyxy = boxes_xyxy[keep]
             scores = sims[keep]  # the reference replaces logits with CLIP sims

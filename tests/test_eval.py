@@ -192,3 +192,18 @@ def test_duplicate_match_demotes_lower_score():
     # wins via the max/min bookkeeping)
     swapped = ev.evaluate([[preds[1], preds[0]]], [sem], [ins], verbose=False)
     assert swapped["classes"]["chair"]["ap"] == pytest.approx(avgs["classes"]["chair"]["ap"])
+
+
+def test_missing_scan_id_no_cross_scene_collision(rng):
+    """Preds lacking scan_id must not share greedy `visited` keys across
+    scenes — round-1 advisory: '_0' collisions silently demoted valid
+    matches in later scenes to false positives."""
+    ev = ScanNetEval(LABELS)
+    scenes = [perfect_scene(rng, n_inst=1) for _ in range(3)]
+    preds = [
+        [{k: v for k, v in p.items() if k != "scan_id"} for p in s[0]]
+        for s in scenes
+    ]
+    avgs = ev.evaluate(preds, [s[1] for s in scenes], [s[2] for s in scenes],
+                       verbose=False)
+    assert avgs["all_ap"] == pytest.approx(1.0)

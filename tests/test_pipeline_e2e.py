@@ -180,3 +180,16 @@ def test_projection_dense_mask_records_match_rle(tmp_path):
     np.testing.assert_array_equal(np.asarray(out["ins"]), np.asarray(ref["ins"]))
     np.testing.assert_allclose(np.asarray(out["conf"]), np.asarray(ref["conf"]))
     assert list(out["final_class"]) == list(ref["final_class"])
+
+
+def test_projection_lifts_out_of_listing_detections(tmp_path):
+    """2D outputs produced at a different frame interval than the projection
+    config must still be lifted (the reference iterates the stage-file records
+    directly, projection_2d_to_3d.py:413)."""
+    import make_synthetic_scene
+
+    cfg_path = make_synthetic_scene.generate(str(tmp_path), query="clothes",
+                                             scenes=1, seed=7)
+    cfg = Config.from_yaml(cfg_path).override(**{"frames.downsample_ratio": 3})
+    results = projection.run(cfg, "clothes", resume=False)
+    assert results[0]["instances"] == 2

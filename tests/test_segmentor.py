@@ -58,3 +58,86 @@ def test_max_detections_cap(seg):
     if rec is not None:
         assert rec["segmented_frame_masks"].shape[0] <= seg.cfg.detector.max_detections
         assert rec["segmented_frame_masks"].shape[2:] == (48, 64)
+
+
+@pytest.fixture(scope="module")
+def yseg():
+    cfg = Config.from_dict({
+        "frames": {"width_2d": 64, "height_2d": 48},
+        "detector": {"kind": "yolo_world", "box_threshold": 0.0,
+                     "must_match_query": False, "similarity_threshold": -1.0,
+                     "max_detections": 8, "dtype": "float32",
+                     "filter_with_clip": False},
+    })
+    return Segmentor2D(cfg)
+
+
+def test_clip_crop_source_matches_reference_semantics(seg, monkeypatch):
+    """GDINO-mode crops must come from the ImageNet-normalized
+    detector-resolution tensor with the reference's *255 -> uint8 wraparound
+    (bbox_filter, reference segmentation_2d.py:345-380)."""
+    import cv2
+
+    from beyondff_tpu.models.gdino.model import IMAGE_MEAN, IMAGE_STD
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    boxes = np.array([[8, 6, 40, 30]], np.float32)
+    captured = {}
+    orig = seg.clip.preprocess
+
+    def capture(crops):
+        captured["crops"] = crops
+        return orig(crops)
+
+    monkeypatch.setattr(seg.clip, "preprocess", capture)
+    seg.filter_boxes_with_clip(img, boxes, "clothes")
+    gh, gw = seg.detector.cfg.image_size
+    resized = cv2.resize(img, (gw, gh), interpolation=cv2.INTER_LINEAR)
+    norm = (resized.astype(np.float32) / 255.0 - IMAGE_MEAN) / IMAGE_STD
+    sx, sy = gw / 64, gh / 48
+    x0, y0, x1, y1 = int(8 * sx), int(6 * sy), int(40 * sx), int(30 * sy)
+    expect = (norm[y0:y1, x0:x1] * 255).astype(np.uint8)
+    np.testing.assert_array_equal(captured["crops"][0], expect)
+    assert expect.min() >= 0  # wraparound really exercised (negatives wrapped)
+
+
+def test_yolo_crop_source_wraps_uint8(yseg, monkeypatch):
+    """YOLO-World-mode crops come from the raw uint8 frame where the
+    reference's `x*255` wraps to (-x) mod 256
+    (segmentation_2d_yolo_world.py:505-515)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    boxes = np.array([[4, 4, 20, 20]], np.float32)
+    captured = {}
+    orig = yseg.clip.preprocess
+
+    def capture(crops):
+        captured["crops"] = crops
+        return orig(crops)
+
+    monkeypatch.setattr(yseg.clip, "preprocess", capture)
+    yseg.filter_boxes_with_clip(img, boxes, "clothes")
+    expect = (img[4:20, 4:20] * 255).astype(np.uint8)  # == (-x) mod 256
+    np.testing.assert_array_equal(captured["crops"][0], expect)
+
+
+def test_yolo_mode_filter_gated_on_config(yseg):
+    """YOLO-World mode always loads CLIP (class embeddings) but must only
+    CLIP-filter when filter_with_clip is set (reference gates on
+    filter_with_CLIP_feature, segmentation_2d_yolo_world.py:213-224)."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    det = (np.array([[0.5, 0.5, 0.4, 0.4]], np.float32),
+           np.array([0.123], np.float32), ["clothes"])
+    assert yseg.clip is not None
+    out = yseg._detect_and_filter(img, "clothes", det)
+    assert out is not None
+    np.testing.assert_allclose(out[1], [0.123])  # detector conf untouched
+    yseg.cfg = yseg.cfg.override(**{"detector.filter_with_clip": True})
+    try:
+        out2 = yseg._detect_and_filter(img, "clothes", det)
+    finally:
+        yseg.cfg = yseg.cfg.override(**{"detector.filter_with_clip": False})
+    assert out2 is not None  # threshold -1 keeps the box
+    assert abs(float(out2[1][0]) - 0.123) > 1e-6  # conf replaced by CLIP sim
