@@ -234,3 +234,56 @@ def test_sharded_lift_rle_matches_single_device(rng):
              jnp.asarray(st), jnp.asarray(en))
     for a, b in zip(out, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tp_sharded_inference_matches_replicated(rng):
+    """Inference models under tensor parallelism: SAM encode and the GDINO
+    forward run with params sharded over model=2 (tensor_parallel_spec) and
+    must match replicated execution — and the partition rules must actually
+    fire (load-bearing, not vacuously replicated)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from beyondff_tpu.models import sam as sam_mod
+    from beyondff_tpu.models.gdino import GroundingDINO
+
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+
+    def model_sharded_leaves(params):
+        return sum(
+            1 for leaf in jax.tree_util.tree_leaves(params)
+            if any(s is not None for s in leaf.sharding.spec)
+        )
+
+    # --- SAM image encoder
+    sam = sam_mod.SAM.create("test", seed=0)
+    tp = mesh_lib.shard_params(sam.params, mesh)
+    assert model_sharded_leaves(tp) >= 10
+    s = sam.cfg.img_size
+    x = jnp.asarray(rng.normal(size=(1, s, s, 3)).astype(np.float32))
+    ref = np.asarray(sam.module.apply(sam.params, x, method=sam_mod.SAMModule.encode))
+    with mesh:
+        out = np.asarray(jax.jit(
+            lambda p, x: sam.module.apply(p, x, method=sam_mod.SAMModule.encode)
+        )(tp, jax.device_put(x, NamedSharding(mesh, P()))))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    # --- GDINO detection forward
+    gd = GroundingDINO.create("test", seed=0)
+    tp = mesh_lib.shard_params(gd.params, mesh)
+    assert model_sharded_leaves(tp) >= 10
+    h, w = gd.cfg.image_size
+    b, t = 1, 6
+    img = jnp.asarray(rng.normal(size=(b, h, w, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, gd.cfg.bert.vocab_size, (b, t)), jnp.int32)
+    sm, pm = jnp.ones((b, t, t), bool), jnp.ones((b, t), bool)
+    pos = jnp.zeros((b, t), jnp.int32)
+    ref_logits, ref_boxes = gd._forward(gd.params, img, ids, sm, pm, pos)
+    with mesh:
+        logits, boxes = jax.jit(
+            lambda p, *a: gd.module.apply(p, *a)
+        )(tp, img, ids, sm, pm, pos)
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(ref_boxes),
+                               rtol=1e-4, atol=1e-4)
+    fin = np.isfinite(np.asarray(ref_logits))
+    np.testing.assert_allclose(np.asarray(logits)[fin], np.asarray(ref_logits)[fin],
+                               rtol=1e-3, atol=1e-3)
