@@ -1,23 +1,27 @@
 #!/usr/bin/env python
-"""Headline benchmark: 2D-segmentation frames/sec on one TPU chip.
+"""Headline benchmark: 2D-segmentation stage throughput on one TPU chip.
 
-Measures the per-frame device compute of the seg2d stage with full-size
-models — Grounding-DINO (Swin-B) detection forward, CLIP ViT-L/14 crop
-scoring, SAM ViT-H image encode + box-prompted decode — batched as the
-pipeline runs them. Weights are synthesized on device (identical FLOPs and
-memory traffic to converted checkpoints; zero-egress image, and no multi-GB
-host->device uploads).
+Two measurements, both printed to stderr; the JSON headline is the honest one:
 
-Each model is its own compiled program (cacheable; progress logged to stderr)
-and every timing loop is fenced with a host fetch so deferred-execution
-backends can't fake completion.
+1. **Pipeline wall-clock** (headline): the real ``Segmentor2D.process_scene``
+   driver — JPEG load, preprocessing, detection, CLIP crop supervision,
+   batched SAM decode, device bit-packing, host downloads, RLE encode — over
+   a synthetic 1296x968 scene, in two regimes: every frame detects ("hit",
+   boxes calibrated to ~4/frame like a trained model) and no frame detects
+   ("miss", detection-only). The headline composes them at a 25% hit rate,
+   matching the reference's regime (most frames have no query object;
+   paper Sec. 4: 10-70 s/scene, avg 35 s ~= 10 frames/s on an RTX A5000).
 
-Baseline: the reference averages 35 s per (class, scene) for this stage on an
-RTX A5000 at ~350 downsampled frames/scene => ~10 frames/sec
-(BASELINE.md: paper Sec. 4). ``vs_baseline`` = our frames/sec / 10.
+2. **Device-compute upper bound** (secondary, comparable to round 1):
+   per-model steady-state forward times at fixed shapes.
+
+Weights are synthesized on device (identical FLOPs/memory traffic to
+converted checkpoints; zero-egress image, no multi-GB uploads). All timing is
+fenced with host fetches (deferred-execution backends can't fake completion).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Env knobs: BFF_BENCH_SCALE=small, BFF_BENCH_BATCH, BFF_BENCH_ITERS.
+Env knobs: BFF_BENCH_SCALE=small, BFF_BENCH_FRAMES, BFF_BENCH_HIT_RATE,
+BFF_BENCH_BOXES, BFF_BENCH_DEVICES=n (virtual-CPU scaling mode, small scale).
 """
 
 import json
@@ -37,8 +41,7 @@ def log(msg):
 
 
 def timed(name, fn, sync, iters):
-    """Median-free simple timing: warmup (real, fenced), then `iters` fenced runs."""
-    import jax
+    import jax  # noqa: F401
 
     t0 = time.time()
     out = fn()
@@ -53,29 +56,189 @@ def timed(name, fn, sync, iters):
     return dt
 
 
-def main():
+def make_scene(root, n_frames, width, height):
+    """Synthetic scene directory of random JPEG frames (cached)."""
+    import cv2
+
+    color = os.path.join(root, "scene0000_00", "color")
+    marker = os.path.join(color, f".done_{n_frames}_{width}x{height}")
+    if os.path.exists(marker):
+        return
+    os.makedirs(color, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n_frames):
+        img = rng.integers(0, 255, (height, width, 3), dtype=np.uint8)
+        cv2.imwrite(os.path.join(color, f"{i}.jpg"), img)
+    open(marker, "w").close()
+
+
+def device_compute(models, iters):
+    """Round-1-comparable per-model steady forwards at fixed shapes."""
     import jax
+    import jax.numpy as jnp
+
+    gdino, clip, sam = models["gdino"], models["clip"], models["sam"]
+    crops_per_frame = 4
+    boxes_per_frame = 4
+    rng = np.random.default_rng(0)
+
+    def sync(x):
+        leaves = jax.tree_util.tree_leaves(x)
+        float(jax.device_get(leaves[0].reshape(-1)[0].astype(jnp.float32)))
+
+    gh, gw = gdino.cfg.image_size
+    g_img = jnp.asarray(rng.normal(size=(1, gh, gw, 3)).astype(np.float32))
+    t_len = 8
+    ids = jnp.asarray(rng.integers(1, gdino.cfg.bert.vocab_size, (1, t_len)), jnp.int32)
+    self_mask = jnp.ones((1, t_len, t_len), bool)
+    pad_mask = jnp.ones((1, t_len), bool)
+    pos_ids = jnp.zeros((1, t_len), jnp.int32)
+
+    s = sam.cfg.img_size
+    s_img = jnp.asarray(rng.normal(size=(1, s, s, 3)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0, s, (boxes_per_frame, 4)).astype(np.float32))
+    n_crop = clip.cfg.image_resolution
+    crops = jnp.asarray(rng.normal(size=(crops_per_frame, n_crop, n_crop, 3)).astype(np.float32))
+
+    gdino_fwd = jax.jit(lambda p, *a: gdino.module.apply(p, *a))
+    t_gdino = timed("gdino(swinb)",
+                    lambda: gdino_fwd(gdino.params, g_img, ids, self_mask, pad_mask, pos_ids),
+                    sync, iters)
+    t_clip = timed(f"clip x{crops_per_frame}crops", lambda: clip.encode_image(crops),
+                   sync, iters)
+    t_sam_enc = timed("sam encode", lambda: sam.encode_image(s_img), sync, iters)
+    emb0 = sam.encode_image(s_img)[0]
+    t_sam_dec = timed(f"sam decode x{boxes_per_frame}boxes",
+                      lambda: sam.decode_boxes(emb0, boxes), sync, iters)
+    per_frame = t_gdino + t_clip + t_sam_enc + t_sam_dec
+    log(f"device-compute upper bound: {per_frame * 1000:.1f} ms/frame "
+        f"= {1 / per_frame:.2f} frames/s")
+    return 1 / per_frame
+
+
+def pipeline_wall_clock(models, small):
+    """The honest number: process_scene wall-clock in hit/miss regimes."""
+    from beyondff_tpu.config import Config
+    from beyondff_tpu.pipeline.segmentation_2d import Segmentor2D
+
+    n_frames = int(os.environ.get("BFF_BENCH_FRAMES", "24"))
+    hit_rate = float(os.environ.get("BFF_BENCH_HIT_RATE", "0.25"))
+    boxes_target = int(os.environ.get("BFF_BENCH_BOXES", "4"))
+    width, height = (64, 48) if small else (1296, 968)
+    root = os.path.join("/tmp", f"bff_bench_scene_{'small' if small else 'full'}")
+    make_scene(root, n_frames, width, height)
+
+    # batch 1 measured optimal on one v5e (ARCHITECTURE.md: the dominant ops
+    # don't amortize with batch, and an 8-frame GDINO batch at (800, 1200)
+    # exhausts HBM); multi-chip runs want frame_batch = device count
+    frame_batch = int(os.environ.get("BFF_BENCH_FRAME_BATCH", "1" if not small else "8"))
+    cfg = Config.from_dict({
+        "paths": {"scene_2d_dir": root},
+        "frames": {"width_2d": width, "height_2d": height, "downsample_ratio": 1},
+        "detector": {"box_threshold": -1.0, "must_match_query": False,
+                     "similarity_threshold": -10.0, "max_detections": boxes_target,
+                     "dtype": "bfloat16", "frame_batch": frame_batch},
+    })
+    seg = Segmentor2D(cfg, detector=models["gdino"], sam=models["sam"],
+                      clip_model=models["clip"], clip_tokenizer=models["clip_tok"])
+
+    # calibrate box_threshold so the hit regime carries ~boxes_target
+    # boxes/frame (a trained detector yields a handful, not TOP_K=64)
+    from beyondff_tpu.utils import io as bio
+
+    frame0 = bio.load_image(os.path.join(root, "scene0000_00", "color", "0.jpg"),
+                            size=(width, height))
+    _b, scores, _p = seg.detector.predict(frame0, "clothes", box_threshold=-1.0)
+    scores = np.sort(np.asarray(scores))[::-1]
+    if scores.size >= boxes_target:
+        # keep at least boxes_target (ties keep more; max_detections caps)
+        thr = float(scores[boxes_target - 1]) - 1e-6
+    else:
+        thr = -1.0
+    log(f"calibrated box_threshold={thr:.4f} (top scores {scores[:6].round(4)})")
+
+    def run(threshold, label):
+        seg.cfg = cfg.override(**{"detector.box_threshold": threshold})
+        # warmup: compile every program shape on a short prefix
+        t0 = time.time()
+        seg.process_scene("scene0000_00", "clothes")
+        log(f"{label}: warmup pass {time.time() - t0:.1f}s")
+        t0 = time.time()
+        records = seg.process_scene("scene0000_00", "clothes")
+        dt = time.time() - t0
+        n_boxes = sum(len(r["confidences"]) for r in records)
+        fps = n_frames / dt
+        log(f"{label}: {n_frames} frames in {dt:.2f}s = {fps:.2f} frames/s "
+            f"({len(records)} frames with boxes, {n_boxes} masks)")
+        return fps
+
+    fps_hit = run(thr, "pipeline[hit: every frame detects]")
+    fps_miss = run(2.0, "pipeline[miss: detection only]")
+    composite = 1.0 / (hit_rate / fps_hit + (1 - hit_rate) / fps_miss)
+    log(f"pipeline composite at {hit_rate:.0%} hit rate: {composite:.2f} frames/s")
+    return composite
+
+
+def multichip_scaling(n_devices):
+    """Virtual-CPU scaling mode (BFF_BENCH_DEVICES): frames/s of the sharded
+    seg2d driver at 1 vs n devices, small models. Not the headline."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from beyondff_tpu.config import Config
+    from beyondff_tpu.pipeline.segmentation_2d import Segmentor2D
+
+    n_frames = int(os.environ.get("BFF_BENCH_FRAMES", "32"))
+    width, height = 64, 48
+    root = "/tmp/bff_bench_scene_small"
+    make_scene(root, n_frames, width, height)
+
+    def fps_at(frame_batch):
+        cfg = Config.from_dict({
+            "paths": {"scene_2d_dir": root},
+            "frames": {"width_2d": width, "height_2d": height, "downsample_ratio": 1},
+            "detector": {"box_threshold": -1.0, "must_match_query": False,
+                         "similarity_threshold": -10.0, "max_detections": 4,
+                         "dtype": "float32", "frame_batch": frame_batch},
+        })
+        seg = Segmentor2D(cfg)
+        seg.process_scene("scene0000_00", "clothes")  # warmup/compile
+        t0 = time.time()
+        seg.process_scene("scene0000_00", "clothes")
+        return n_frames / (time.time() - t0)
+
+    f1 = fps_at(1)
+    fn = fps_at(n_devices)
+    log(f"virtual {n_devices}-device scaling: frame_batch=1 {f1:.2f} f/s -> "
+        f"frame_batch={n_devices} {fn:.2f} f/s ({fn / f1:.2f}x)")
+    print(json.dumps({"metric": "seg2d_virtual_scaling_x", "value": round(fn / f1, 3),
+                      "unit": f"x at {n_devices} devices", "vs_baseline": round(fn / f1, 3)}))
+
+
+def main():
+    devices_mode = os.environ.get("BFF_BENCH_DEVICES")
+    if devices_mode:
+        multichip_scaling(int(devices_mode))
+        return
+
     import jax.numpy as jnp
 
     from beyondff_tpu.models import clip as clip_mod
     from beyondff_tpu.models import sam as sam_mod
     from beyondff_tpu.models.gdino import GroundingDINO, model as gdino_model
+    from beyondff_tpu.models.tokenizers import HashTokenizer
 
     small = os.environ.get("BFF_BENCH_SCALE") == "small"
-    # batch 1 measured optimal on v5e: the dominant ops (deformable gathers,
-    # SAM windowed attention) are memory-bound and don't amortize with batch
-    batch = int(os.environ.get("BFF_BENCH_BATCH", "1"))
     iters = int(os.environ.get("BFF_BENCH_ITERS", "8"))
-    crops_per_frame = 4
-    boxes_per_frame = 4
     dtype = jnp.bfloat16
 
-    def sync(x):
-        # force true completion: fetch a scalar derived from the outputs
-        leaves = jax.tree_util.tree_leaves(x)
-        float(jax.device_get(leaves[0].reshape(-1)[0].astype(jnp.float32)))
-
-    t_setup = time.time()
+    t0 = time.time()
     if small:
         sam = sam_mod.SAM.create("test", dtype=dtype, device_fill=True)
         clip = clip_mod.CLIP.create("test", dtype=dtype, device_fill=True)
@@ -85,51 +248,22 @@ def main():
         clip = clip_mod.CLIP.create("ViT-L/14", dtype=dtype, device_fill=True)
         gdino = GroundingDINO.create(
             gdino_model.GDINOConfig(image_size=(800, 1200)), dtype=dtype, device_fill=True)
-    log(f"models built in {time.time() - t_setup:.1f}s")
+    log(f"models built in {time.time() - t0:.1f}s")
+    models = {
+        "gdino": gdino, "clip": clip, "sam": sam,
+        "clip_tok": HashTokenizer(clip.cfg.vocab_size, clip.cfg.context_length),
+    }
 
-    rng = np.random.default_rng(0)
-    gh, gw = gdino.cfg.image_size
-    g_img = jnp.asarray(rng.normal(size=(batch, gh, gw, 3)).astype(np.float32))
-    t_len = 8
-    ids = jnp.asarray(rng.integers(1, gdino.cfg.bert.vocab_size, (batch, t_len)), jnp.int32)
-    self_mask = jnp.ones((batch, t_len, t_len), bool)
-    pad_mask = jnp.ones((batch, t_len), bool)
-    pos_ids = jnp.zeros((batch, t_len), jnp.int32)
-
-    s = sam.cfg.img_size
-    s_img = jnp.asarray(rng.normal(size=(batch, s, s, 3)).astype(np.float32))
-    boxes = jnp.asarray(rng.uniform(0, s, (boxes_per_frame, 4)).astype(np.float32))
-
-    n_crop = clip.cfg.image_resolution
-    crops = jnp.asarray(
-        rng.normal(size=(batch * crops_per_frame, n_crop, n_crop, 3)).astype(np.float32))
-
-    gdino_fwd = jax.jit(lambda p, *a: gdino.module.apply(p, *a))
-    t_gdino = timed(
-        "gdino(swinb)",
-        lambda: gdino_fwd(gdino.params, g_img, ids, self_mask, pad_mask, pos_ids),
-        sync, iters)
-
-    t_clip = timed(
-        f"clip(ViT-L)x{batch * crops_per_frame}crops",
-        lambda: clip.encode_image(crops), sync, iters)
-
-    t_sam_enc = timed("sam(vit_h) encode", lambda: sam.encode_image(s_img), sync, iters)
-
-    emb0 = sam.encode_image(s_img)[0]
-    t_sam_dec = timed(
-        f"sam decode x{boxes_per_frame}boxes",
-        lambda: sam.decode_boxes(emb0, boxes), sync, iters)
-
-    per_batch = t_gdino + t_clip + t_sam_enc + t_sam_dec
-    fps = batch / per_batch
-    log(f"total per-frame device time {per_batch / batch * 1000:.1f} ms")
+    fps_device = device_compute(models, iters)
+    fps_pipeline = pipeline_wall_clock(models, small)
+    log(f"summary: device-compute {fps_device:.2f} f/s, "
+        f"pipeline composite {fps_pipeline:.2f} f/s")
 
     print(json.dumps({
-        "metric": "seg2d_frames_per_sec",
-        "value": round(fps, 3),
+        "metric": "seg2d_pipeline_frames_per_sec",
+        "value": round(fps_pipeline, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps_pipeline / BASELINE_FPS, 3),
     }))
 
 

@@ -78,6 +78,12 @@ class DetectorConfig:
     # compute
     dtype: str = "bfloat16"
     frame_batch: int = 8  # frames jointly encoded per device step
+    # single-upload path: each frame uploads ONCE (SAM-scaled uint8, in the
+    # prefetch thread) and the detector input derives from it on device.
+    # `false` restores the reference's exact per-model host resize chain
+    # (detector input from the full-resolution frame) at ~3x the
+    # host->device traffic. GDINO mode only; see PARITY.md.
+    device_frames: bool = True
 
 
 @dataclass

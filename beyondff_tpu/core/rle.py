@@ -92,7 +92,10 @@ def encode_frame_masks(results: List[Dict]) -> List[Dict]:
     (M, 1, H, W) bool -> list of RLEs over the flattened (H*W) mask.
     """
     for rec in results:
-        masks = np.asarray(rec["segmented_frame_masks"])
+        raw = rec["segmented_frame_masks"]
+        if isinstance(raw, (list, tuple)) and raw and isinstance(raw[0], dict):
+            continue  # already RLE-encoded
+        masks = np.asarray(raw)
         flat = masks.reshape(masks.shape[0], -1)
         rec["segmented_frame_masks"] = rle_encode_batch(flat)
     return results

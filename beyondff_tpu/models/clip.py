@@ -231,13 +231,15 @@ def convert_torch_checkpoint(path: str, cfg: CLIPConfig) -> dict:
     """OpenAI CLIP state dict (.pt/.pth, jit archive or plain) -> flax params."""
     import torch
 
+    from beyondff_tpu.models.convert_util import RecordingDict, assert_all_consumed
+
     try:
         sd = torch.jit.load(path, map_location="cpu").state_dict()
     except RuntimeError:
         sd = torch.load(path, map_location="cpu", weights_only=False)
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
-    t = {k: v.float().numpy() for k, v in sd.items()}
+    t = RecordingDict({k: v.float().numpy() for k, v in sd.items()})
 
     def block(prefix_t: str, heads: int):
         w_in = t[f"{prefix_t}.attn.in_proj_weight"]
@@ -284,4 +286,8 @@ def convert_torch_checkpoint(path: str, cfg: CLIPConfig) -> dict:
         text[f"block{i}"] = block(f"transformer.resblocks.{i}", cfg.text_heads)
 
     params = {"params": {"visual": visual, "text": text, "logit_scale": t["logit_scale"]}}
+    # jit-archive scalars carried by the OpenAI .pt files
+    assert_all_consumed(
+        t, ignore=(r"^input_resolution$", r"^context_length$", r"^vocab_size$"),
+        context="CLIP checkpoint")
     return jax.tree_util.tree_map(jnp.asarray, params)

@@ -77,10 +77,12 @@ def convert_torch_checkpoint(path: str, cfg: SAMConfig) -> dict:
     """
     import torch
 
+    from beyondff_tpu.models.convert_util import RecordingDict, assert_all_consumed
+
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if "model" in sd:
         sd = sd["model"]
-    t = {k: v.float().numpy() for k, v in sd.items()}
+    t = RecordingDict({k: v.float().numpy() for k, v in sd.items()})
 
     def dense(prefix):
         return {"kernel": t[f"{prefix}.weight"].T, "bias": t[f"{prefix}.bias"]}
@@ -108,9 +110,13 @@ def convert_torch_checkpoint(path: str, cfg: SAMConfig) -> dict:
             "attn": {"qkv": dense(f"{p}.attn.qkv"), "proj": dense(f"{p}.attn.proj")},
             "mlp": {"fc1": dense(f"{p}.mlp.lin1"), "fc2": dense(f"{p}.mlp.lin2")},
         }
-    # prompt + decoder share SAM naming in the public checkpoint
-    full = sam_mod.convert_torch_checkpoint(path, cfg)
+    # prompt + decoder share SAM naming in the public checkpoint; the shared
+    # RecordingDict keeps one consumption ledger across both mappings
+    full = sam_mod.convert_torch_checkpoint(path, cfg, _sd=t, strict=False)
     full["params"]["encoder"] = jax.tree_util.tree_map(jnp.asarray, enc)
+    assert_all_consumed(
+        t, ignore=(r"num_batches_tracked$", r"^prompt_encoder\.mask_downscaling\."),
+        context="EfficientSAM checkpoint")
     return full
 
 

@@ -22,16 +22,37 @@ import numpy as np
 from beyondff_tpu.models.gdino.model import GDINOConfig
 
 
-class ConversionError(RuntimeError):
-    pass
+from beyondff_tpu.models.convert_util import (  # noqa: F401 (re-export)
+    ConversionError,
+    RecordingDict,
+    assert_all_consumed,
+)
+
+# checkpoint keys that are legitimately not part of the inference graph:
+# the BERT pooler head (unused by Grounding-DINO), HF position-id buffers,
+# and the duplicated names that module sharing produces in the state dict
+# (decoder bbox_embed is one shared MLP registered under every layer index
+# and again under transformer.decoder, upstream groundingdino.models)
+IGNORED_CHECKPOINT_KEYS = (
+    r"bert\.pooler\.",
+    r"position_ids$",
+    r"^bbox_embed\.[1-9]\d*\.",
+    r"^transformer\.decoder\.bbox_embed\.",
+    r"^label_enc\.",
+    r"num_batches_tracked$",
+    # Swin registers these as persistent buffers; they are pure index tables
+    # recomputed from the window size at trace time here
+    r"relative_position_index$",
+    r"attn_mask$",
+)
 
 
-def convert_torch_checkpoint(path: str, cfg: GDINOConfig) -> dict:
+def convert_torch_checkpoint(path: str, cfg: GDINOConfig, strict: bool = True) -> dict:
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt)
-    t = {k.replace("module.", ""): v.float().numpy() for k, v in sd.items()}
+    t = RecordingDict({k.replace("module.", ""): v.float().numpy() for k, v in sd.items()})
     missing: List[str] = []
 
     def get(key):
@@ -194,4 +215,7 @@ def convert_torch_checkpoint(path: str, cfg: GDINOConfig) -> dict:
         raise ConversionError(
             f"{len(missing)} keys missing from checkpoint (first 20): {missing[:20]}"
         )
+    if strict:
+        assert_all_consumed(t, ignore=IGNORED_CHECKPOINT_KEYS,
+                            context="Grounding-DINO checkpoint")
     return {"params": jax.tree_util.tree_map(jnp.asarray, params)}

@@ -351,6 +351,25 @@ class GroundingDINO:
 
         self._forward_topk = jax.jit(fwd_topk)
 
+        def fwd_topk_frames(p, frames_u8, ids, sm, pm, pos):
+            # single-upload path: the scene's shared uint8 frame buffer
+            # (SAM-scaled) resizes to the detector input ON DEVICE — one
+            # host->device transfer feeds detector, SAM, and crop scoring
+            b, fh, fw, _ = frames_u8.shape
+            h, w = self.cfg.image_size
+            x = jax.image.resize(frames_u8.astype(jnp.float32), (b, h, w, 3),
+                                 "bilinear", antialias=False)
+            img = (x / 255.0 - mean) / std
+            logits, boxes = self.module.apply(p, img, ids, sm, pm, pos)
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+            scores = jnp.max(probs, axis=-1)
+            top_scores, top_idx = jax.lax.top_k(scores, k)
+            top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+            top_probs = jnp.take_along_axis(probs, top_idx[..., None], axis=1)
+            return top_scores, top_boxes, top_probs
+
+        self._forward_topk_frames = jax.jit(fwd_topk_frames)
+
     @classmethod
     def create(cls, name_or_cfg="swinb", tokenizer=None, seed: int = 0, dtype=jnp.float32,
                device_fill: bool = False):
@@ -405,6 +424,18 @@ class GroundingDINO:
         segmentation_2d.py:243-270).
 
         Returns a list of (boxes, scores, phrases) per image."""
+        return self._predict_common(images, caption, box_threshold, text_threshold,
+                                    frames=False)
+
+    def predict_batch_frames(self, frames_dev, caption: str,
+                             box_threshold: float = 0.35, text_threshold: float = 0.25):
+        """Detection from an already-uploaded uint8 frame buffer (any
+        resolution; resized to the detector input on device). The seg2d
+        driver's single-upload path feeds the same buffer to SAM."""
+        return self._predict_common(frames_dev, caption, box_threshold, text_threshold,
+                                    frames=True)
+
+    def _predict_common(self, images, caption, box_threshold, text_threshold, frames):
         caption = self.preprocess_caption(caption)
         enc = self.tokenizer([caption])
         ids = enc["input_ids"][:, : self.cfg.max_text_len]
@@ -413,9 +444,14 @@ class GroundingDINO:
         self_mask, pos_ids = bert_mod.subsentence_masks(
             ids, special, self._cls_id(), self._sep_id())
         b = len(images)
-        img = np.concatenate([self.preprocess_image(im) for im in images], axis=0)
+        if frames:
+            img = images if hasattr(images, "shape") else jnp.stack(list(images))
+            b = img.shape[0]
+        else:
+            img = np.concatenate([self.preprocess_image(im) for im in images], axis=0)
         tile = lambda x: np.broadcast_to(x, (b, *x.shape[1:]))
-        args = [jnp.asarray(img), jnp.asarray(tile(ids)), jnp.asarray(tile(self_mask)),
+        args = [img if frames else jnp.asarray(img), jnp.asarray(tile(ids)),
+                jnp.asarray(tile(self_mask)),
                 jnp.asarray(tile(pad)), jnp.asarray(tile(pos_ids))]
         devices = jax.devices()
         if len(devices) > 1 and b % len(devices) == 0:
@@ -425,7 +461,8 @@ class GroundingDINO:
             mesh = Mesh(np.asarray(devices), ("data",))
             sharding = NamedSharding(mesh, PartitionSpec("data"))
             args = [jax.device_put(a, sharding) for a in args]
-        top_scores, top_boxes, top_probs = self._forward_topk(self.params, *args)
+        fwd = self._forward_topk_frames if frames else self._forward_topk
+        top_scores, top_boxes, top_probs = fwd(self.params, *args)
         top_scores = np.asarray(top_scores, np.float32)
         top_boxes = np.asarray(top_boxes, np.float32)
         top_probs = np.asarray(top_probs, np.float32)

@@ -424,7 +424,22 @@ class SAM:
             return self.module.apply(p, x, method=SAMModule.encode)
 
         self._encode_u8 = jax.jit(encode_u8, static_argnums=(2, 3))
+
+        def encode_frames_u8(p, fr):
+            # single-upload path: unpadded uint8 frames pad + normalize on
+            # device; the padded region must be exactly 0 after normalization
+            b, nh, nw, _ = fr.shape
+            s_img = self.cfg.img_size
+            x = jnp.pad(fr, ((0, 0), (0, s_img - nh), (0, s_img - nw), (0, 0)))
+            x = (x.astype(jnp.float32) - mean) / std
+            rows = jnp.arange(s_img) < nh
+            cols = jnp.arange(s_img) < nw
+            x = x * (rows[:, None] & cols[None, :])[None, :, :, None]
+            return self.module.apply(p, x, method=SAMModule.encode)
+
+        self._encode_frames = jax.jit(encode_frames_u8)
         self._decode = jax.jit(lambda p, e, b: self.module.apply(p, e, b, method=SAMModule.decode_boxes))
+        self._packed_cache = {}
 
     @classmethod
     def create(cls, name_or_cfg="vit_h", seed: int = 0, dtype=jnp.float32,
@@ -458,6 +473,24 @@ class SAM:
                                           interpolation=cv2.INTER_LINEAR)
         return out, (nh, nw)
 
+    def scale_frame(self, image: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int]]:
+        """uint8 RGB (H, W, 3) -> long-side-scaled UNPADDED uint8 (nh, nw, 3)
+        for the single-upload path (padding happens on device in
+        :meth:`encode_frames`). Same cv2 resize as :meth:`preprocess`."""
+        import cv2
+
+        s = self.cfg.img_size
+        h, w = image.shape[:2]
+        scale = s / max(h, w)
+        nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+        return cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR), (nh, nw)
+
+    def encode_frames(self, frames_dev) -> jnp.ndarray:
+        """(B, nh, nw, 3) uint8 device frames (from :meth:`scale_frame`,
+        already uploaded) -> (B, g, g, d) embeddings; pad + normalize on
+        device. Numerically identical to preprocess + encode_image."""
+        return self._encode_frames(self.params, frames_dev)
+
     def transform_boxes(self, boxes_xyxy: np.ndarray, orig_hw: Tuple[int, int]) -> np.ndarray:
         """Boxes in original pixels -> padded-square pixels."""
         h, w = orig_hw
@@ -485,6 +518,47 @@ class SAM:
         Returns (low-res mask logits (B, 4g, 4g), iou predictions (B,))."""
         return self._decode(self.params, embedding, jnp.asarray(boxes, jnp.float32))
 
+    def decode_boxes_packed(self, embs, boxes, input_hw: Tuple[int, int],
+                            orig_hw: Tuple[int, int]):
+        """Batched decode for a whole frame batch, postprocessed and
+        bit-packed on device: one dispatch instead of a per-frame decode loop,
+        and ~8x smaller host downloads than dense booleans (the dense
+        (M, H, W) transfer is ~1.25 MB/mask at ScanNet resolution — the
+        dominant host<->device cost of the 2D stage on a tunneled chip).
+
+        embs: (B, g, g, d) device array; boxes: (B, K, 4) padded-square pixels
+        (zero rows are padding). Returns (packed uint8 (B, K, ceil(H*W/8)),
+        iou (B, K)); unpack with np.unpackbits(..., bitorder="little").
+        """
+        b, k = embs.shape[0], boxes.shape[1]
+        key = (b, k, tuple(input_hw), tuple(orig_hw))
+        fn = self._packed_cache.get(key)
+        if fn is None:
+            s = self.cfg.img_size
+            hh, ww = orig_hw
+            n = hh * ww
+            n8 = -(-n // 8) * 8
+
+            def packed_fn(p, e, bx):
+                def one(e1, b1):
+                    return self.module.apply(p, e1, b1, method=SAMModule.decode_boxes)
+
+                low, iou = jax.vmap(one)(e, bx)  # (B, K, 4g, 4g)
+                x = jax.image.resize(low, (b, k, s, s), "bilinear")
+                x = x[:, :, : input_hw[0], : input_hw[1]]
+                x = jax.image.resize(x, (b, k, hh, ww), "bilinear")
+                flat = (x > 0).reshape(b, k, n)
+                if n8 != n:
+                    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, n8 - n)))
+                bits = flat.reshape(b, k, n8 // 8, 8)
+                w8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+                return (jnp.sum(bits.astype(jnp.int32) * w8, -1).astype(jnp.uint8),
+                        iou)
+
+            fn = jax.jit(packed_fn)
+            self._packed_cache[key] = fn
+        return fn(self.params, embs, jnp.asarray(boxes, jnp.float32))
+
     def postprocess_masks(self, low_res_logits, input_hw: Tuple[int, int],
                           orig_hw: Tuple[int, int]) -> np.ndarray:
         """Low-res logits -> boolean masks at the original resolution
@@ -497,14 +571,23 @@ class SAM:
 
 
 # --------------------------------------------------------------- conversion
-def convert_torch_checkpoint(path: str, cfg: SAMConfig) -> dict:
-    """Official SAM checkpoint (sam_vit_{b,l,h}_*.pth) -> flax params."""
-    import torch
+def convert_torch_checkpoint(path: str, cfg: SAMConfig, _sd=None, strict: bool = True) -> dict:
+    """Official SAM checkpoint (sam_vit_{b,l,h}_*.pth) -> flax params.
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(sd, dict) and "model" in sd and hasattr(sd["model"], "items"):
-        sd = sd["model"]  # EfficientSAM-style wrapping
-    t = {k: v.float().numpy() for k, v in sd.items()}
+    Every checkpoint key must be consumed; leftovers raise (``strict=False``
+    skips the check for callers that remap parts themselves, e.g. the
+    EfficientSAM converter sharing this decoder/prompt mapping)."""
+    from beyondff_tpu.models.convert_util import RecordingDict, assert_all_consumed
+
+    if _sd is not None:
+        t = _sd
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "model" in sd and hasattr(sd["model"], "items"):
+            sd = sd["model"]  # EfficientSAM-style wrapping
+        t = RecordingDict({k: v.float().numpy() for k, v in sd.items()})
 
     def dense(prefix):
         return {"kernel": t[f"{prefix}.weight"].T, "bias": t[f"{prefix}.bias"]}
@@ -587,4 +670,11 @@ def convert_torch_checkpoint(path: str, cfg: SAMConfig) -> dict:
         dec[f"iou_fc{li}"] = dense(f"mask_decoder.iou_prediction_head.layers.{li}")
 
     params = {"params": {"encoder": enc, "prompt": prompt, "decoder": dec}}
+    if strict:
+        # mask_downscaling embeds MASK prompts — the pipeline is box-prompted
+        # only (reference predict_torch(boxes=...), segmentation_2d.py:183-188)
+        assert_all_consumed(
+            t, ignore=(r"^prompt_encoder\.mask_downscaling\.",
+                       r"num_batches_tracked$"),
+            context="SAM checkpoint")
     return jax.tree_util.tree_map(jnp.asarray, params)

@@ -2,11 +2,13 @@
 
 Replaces the pip ``inference`` YOLO-World-L the reference uses for its fast
 detector variant (reference: tools/segmentation_2d_yolo_world.py:132-139,
-SURVEY.md C3). Architecture: YOLOv8-style CSP backbone (Conv-BN-SiLU, C2f
-blocks, SPPF), a PAN neck whose CSP layers are text-guided (max-sigmoid
-attention against the class text embeddings, the T-CSPLayer of the paper),
-and a decoupled head where classification logits are the scaled dot product
-between pixel embeddings and text embeddings (region-text contrast).
+SURVEY.md C3). The module mirrors the released ultralytics ``yolov8*-world``
+topology layer by layer so the official checkpoints convert 1:1: YOLOv8 CSP
+backbone (layers 0-9), a PAN neck whose CSP layers carry max-sigmoid text
+attention (``C2fAttn``/``MaxSigmoidAttnBlock``, layers 12/15/18/21), and the
+``WorldDetect`` head — DFL box regression plus a contrastive class head
+scoring pixel embeddings against CLIP text embeddings (``BNContrastiveHead``
+for the v2 checkpoints, plain L2 ``ContrastiveHead`` for v1).
 
 Text embeddings come from CLIP's text tower (the same
 :mod:`beyondff_tpu.models.clip` instance the pipeline already holds).
@@ -29,26 +31,36 @@ import numpy as np
 class YOLOWorldConfig:
     width: float = 1.0  # channel multiplier (L = 1.0)
     depth: float = 1.0  # block multiplier
-    base_channels: int = 64
-    text_dim: int = 512
+    max_channels: int = 512
+    text_dim: int = 512  # guide channels (gc)
     embed_dim: int = 512
     img_size: Tuple[int, int] = (640, 640)
     max_dets: int = 100
     reg_max: int = 16  # DFL bins
+    nc: int = 80  # training class count (sets the cls-branch width only)
+    bn_head: bool = True  # v2 checkpoints use BNContrastiveHead
+    attn_heads: Tuple[int, int, int, int] = (8, 4, 8, 16)  # layers 12/15/18/21
 
 
 PRESETS = {
     "l": YOLOWorldConfig(),
-    "s": YOLOWorldConfig(width=0.5, depth=0.33),
-    "test": YOLOWorldConfig(width=0.125, depth=0.34, base_channels=32, text_dim=32,
-                            embed_dim=32, img_size=(64, 64), max_dets=20, reg_max=4),
+    "m": YOLOWorldConfig(width=0.75, depth=0.67, max_channels=768),
+    "s": YOLOWorldConfig(width=0.5, depth=0.33, max_channels=1024),
+    "test": YOLOWorldConfig(width=0.25, depth=0.34, max_channels=512, text_dim=32,
+                            embed_dim=32, img_size=(64, 64), max_dets=20, reg_max=4,
+                            nc=4, attn_heads=(2, 2, 2, 2)),
 }
+
+
+def _make_div(x: float, div: int = 8) -> int:
+    return max(div, int(x + div / 2) // div * div)
 
 
 class ConvBN(nn.Module):
     ch: int
     k: int = 1
     s: int = 1
+    act: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -56,7 +68,7 @@ class ConvBN(nn.Module):
         x = nn.Conv(self.ch, (self.k, self.k), (self.s, self.s), padding=self.k // 2,
                     use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn")(x)
-        return nn.silu(x)
+        return nn.silu(x) if self.act else x
 
 
 class Bottleneck(nn.Module):
@@ -89,29 +101,51 @@ class C2f(nn.Module):
         return ConvBN(self.ch, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(parts, -1))
 
 
-class TextGuidedC2f(nn.Module):
-    """C2f whose final features are modulated by max-sigmoid text attention
-    (YOLO-World T-CSPLayer)."""
+class MaxSigmoidAttn(nn.Module):
+    """ultralytics MaxSigmoidAttnBlock with c1 == ec (the released widths):
+    per head, max over classes of <pixel embedding, projected guide>, sigmoid-
+    gated onto a 3x3-projected feature map."""
 
     ch: int
-    n: int = 1
+    nh: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, txt):  # txt: (C_cls, text_dim)
+    def __call__(self, x, guide):  # guide: (K, gc)
+        hc = self.ch // self.nh
+        g = nn.Dense(self.ch, use_bias=False, dtype=self.dtype, name="gl")(
+            guide.astype(self.dtype))
+        g = g.reshape(-1, self.nh, hc)  # (K, nh, hc)
+        b, h, w, _ = x.shape
+        e = x.reshape(b, h, w, self.nh, hc)
+        aw = jnp.einsum("bhwmc,nmc->bhwmn", e, g)
+        aw = jnp.max(aw, -1) / np.sqrt(hc).astype(np.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.nh,))
+        aw = jax.nn.sigmoid(aw + bias.astype(self.dtype))  # scale=False in released cfgs
+        xp = ConvBN(self.ch, 3, act=False, dtype=self.dtype, name="proj_conv")(x)
+        xp = xp.reshape(b, h, w, self.nh, hc) * aw[..., None]
+        return xp.reshape(b, h, w, self.ch)
+
+
+class C2fAttn(nn.Module):
+    """C2f with an extra max-sigmoid text-attention branch appended before
+    the output projection (ultralytics C2fAttn: cv2 sees (3+n) * c/2 chans)."""
+
+    ch: int
+    n: int = 1
+    nh: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, guide):
         half = self.ch // 2
         y = ConvBN(self.ch, 1, dtype=self.dtype, name="cv1")(x)
         parts = [y[..., :half], y[..., half:]]
         for i in range(self.n):
             parts.append(Bottleneck(half, False, dtype=self.dtype, name=f"m{i}")(parts[-1]))
-        feat = jnp.concatenate(parts, -1)
-        # max-sigmoid attention: per pixel, max over classes of <emb, text>
-        emb = nn.Dense(txt.shape[-1], dtype=self.dtype, name="guide")(feat)
-        logit_scale = self.param("logit_scale", nn.initializers.zeros, ())
-        att = jnp.einsum("bhwc,kc->bhwk", emb, txt.astype(self.dtype))
-        att = jnp.max(att, axis=-1, keepdims=True) * jnp.exp(logit_scale.astype(self.dtype))
-        feat = feat * jax.nn.sigmoid(att)
-        return ConvBN(self.ch, 1, dtype=self.dtype, name="cv2")(feat)
+        parts.append(MaxSigmoidAttn(half, self.nh, dtype=self.dtype, name="attn")(
+            parts[-1], guide))
+        return ConvBN(self.ch, 1, dtype=self.dtype, name="cv2")(jnp.concatenate(parts, -1))
 
 
 class SPPF(nn.Module):
@@ -131,6 +165,9 @@ class YOLOWorldModule(nn.Module):
     cfg: YOLOWorldConfig
     dtype: jnp.dtype = jnp.float32
 
+    def _w(self, ch: int) -> int:
+        return _make_div(min(ch, self.cfg.max_channels) * self.cfg.width)
+
     @nn.compact
     def __call__(self, images, text_embeds):
         """images (B, H, W, 3) in [0,1]; text_embeds (C_cls, text_dim) L2-normed.
@@ -139,10 +176,11 @@ class YOLOWorldModule(nn.Module):
         over all anchors A of strides 8/16/32.
         """
         c = self.cfg
-        w = lambda ch: max(16, int(ch * c.width))
+        w = self._w
         d = lambda n: max(1, round(n * c.depth))
+        nh = c.attn_heads
 
-        # ------------------------------------------------------ backbone
+        # ------------------------------------------------ backbone (0-9)
         x = ConvBN(w(64), 3, 2, dtype=self.dtype, name="stem")(images)  # /2
         x = ConvBN(w(128), 3, 2, dtype=self.dtype, name="down1")(x)  # /4
         x = C2f(w(128), d(3), dtype=self.dtype, name="c2f1")(x)
@@ -150,55 +188,67 @@ class YOLOWorldModule(nn.Module):
         p3 = C2f(w(256), d(6), dtype=self.dtype, name="c2f2")(x)
         x = ConvBN(w(512), 3, 2, dtype=self.dtype, name="down3")(p3)  # /16
         p4 = C2f(w(512), d(6), dtype=self.dtype, name="c2f3")(x)
-        x = ConvBN(w(512), 3, 2, dtype=self.dtype, name="down4")(p4)  # /32
-        x = C2f(w(512), d(3), dtype=self.dtype, name="c2f4")(x)
-        p5 = SPPF(w(512), dtype=self.dtype, name="sppf")(x)
+        x = ConvBN(w(1024), 3, 2, dtype=self.dtype, name="down4")(p4)  # /32
+        x = C2f(w(1024), d(3), dtype=self.dtype, name="c2f4")(x)
+        p5 = SPPF(w(1024), dtype=self.dtype, name="sppf")(x)
 
-        # ------------------------------------------------- text-guided PAN
+        # --------------------------------- text-guided PAN (12/15/16/18/19/21)
         up = jax.image.resize(p5, (p5.shape[0], *p4.shape[1:3], p5.shape[-1]), "nearest")
-        f4 = TextGuidedC2f(w(512), d(3), dtype=self.dtype, name="t4")(
+        f12 = C2fAttn(w(512), d(3), nh[0], dtype=self.dtype, name="t4")(
             jnp.concatenate([up, p4], -1), text_embeds)
-        up = jax.image.resize(f4, (f4.shape[0], *p3.shape[1:3], f4.shape[-1]), "nearest")
-        f3 = TextGuidedC2f(w(256), d(3), dtype=self.dtype, name="t3")(
+        up = jax.image.resize(f12, (f12.shape[0], *p3.shape[1:3], f12.shape[-1]), "nearest")
+        f15 = C2fAttn(w(256), d(3), nh[1], dtype=self.dtype, name="t3")(
             jnp.concatenate([up, p3], -1), text_embeds)
-        dn = ConvBN(w(256), 3, 2, dtype=self.dtype, name="pan_d3")(f3)
-        f4 = TextGuidedC2f(w(512), d(3), dtype=self.dtype, name="t4b")(
-            jnp.concatenate([dn, f4], -1), text_embeds)
-        dn = ConvBN(w(512), 3, 2, dtype=self.dtype, name="pan_d4")(f4)
-        f5 = TextGuidedC2f(w(512), d(3), dtype=self.dtype, name="t5")(
+        dn = ConvBN(w(256), 3, 2, dtype=self.dtype, name="pan_d3")(f15)
+        f18 = C2fAttn(w(512), d(3), nh[2], dtype=self.dtype, name="t4b")(
+            jnp.concatenate([dn, f12], -1), text_embeds)
+        dn = ConvBN(w(512), 3, 2, dtype=self.dtype, name="pan_d4")(f18)
+        f21 = C2fAttn(w(1024), d(3), nh[3], dtype=self.dtype, name="t5")(
             jnp.concatenate([dn, p5], -1), text_embeds)
 
-        # ------------------------------------------------------ head
+        # ------------------------------------------------ WorldDetect (22)
+        feats = [(f15, 8), (f18, 16), (f21, 32)]
+        c2h = max(16, feats[0][0].shape[-1] // 4, 4 * c.reg_max)
+        c3 = max(feats[0][0].shape[-1], min(c.nc, 100))
         boxes_all, cls_all = [], []
-        for li, (feat, stride) in enumerate([(f3, 8), (f4, 16), (f5, 32)]):
+        for li, (feat, stride) in enumerate(feats):
             b, hh, ww, _ = feat.shape
-            # box branch: DFL distribution over reg_max bins per side
-            rb = ConvBN(w(64), 3, dtype=self.dtype, name=f"reg{li}_1")(feat)
+            # box branch (Detect.cv2): Conv, Conv, Conv2d(4*reg_max)
+            rb = ConvBN(c2h, 3, dtype=self.dtype, name=f"reg{li}_0")(feat)
+            rb = ConvBN(c2h, 3, dtype=self.dtype, name=f"reg{li}_1")(rb)
             rb = nn.Conv(4 * c.reg_max, (1, 1), dtype=self.dtype, name=f"reg{li}_2")(rb)
+            # DFL: expectation over softmaxed bins (ultralytics DFL conv)
             dist = jax.nn.softmax(
                 rb.reshape(b, hh * ww, 4, c.reg_max).astype(jnp.float32), -1)
             ltrb = jnp.sum(dist * jnp.arange(c.reg_max, dtype=jnp.float32), -1)  # (B, A, 4)
-            ys = (jnp.arange(hh, dtype=jnp.float32) + 0.5)
-            xs = (jnp.arange(ww, dtype=jnp.float32) + 0.5)
+            ys = jnp.arange(hh, dtype=jnp.float32) + 0.5
+            xs = jnp.arange(ww, dtype=jnp.float32) + 0.5
             cy, cx = jnp.meshgrid(ys, xs, indexing="ij")
             centers = jnp.stack([cx.ravel(), cy.ravel()], -1)  # (A, 2) in stride units
             x1y1 = (centers - ltrb[..., :2]) * stride
             x2y2 = (centers + ltrb[..., 2:]) * stride
             boxes_all.append(jnp.concatenate([x1y1, x2y2], -1))
 
-            # cls branch: pixel embedding . text embedding
-            cb = ConvBN(w(64), 3, dtype=self.dtype, name=f"cls{li}_1")(feat)
+            # cls branch (WorldDetect.cv3): Conv, Conv, Conv2d(embed)
+            cb = ConvBN(c3, 3, dtype=self.dtype, name=f"cls{li}_0")(feat)
+            cb = ConvBN(c3, 3, dtype=self.dtype, name=f"cls{li}_1")(cb)
             cb = nn.Conv(c.embed_dim, (1, 1), dtype=self.dtype, name=f"cls{li}_2")(cb)
-            cb = cb.reshape(b, hh * ww, c.embed_dim)
-            cb = cb / (jnp.linalg.norm(cb.astype(jnp.float32), axis=-1, keepdims=True) + 1e-6).astype(self.dtype)
-            txt_proj = nn.Dense(c.embed_dim, dtype=self.dtype, name=f"cls{li}_txt")(
-                text_embeds.astype(self.dtype))
-            txt_proj = txt_proj / (jnp.linalg.norm(txt_proj.astype(jnp.float32), axis=-1,
-                                                   keepdims=True) + 1e-6).astype(self.dtype)
-            scale = self.param(f"cls{li}_scale", nn.initializers.constant(1.0), ())
-            bias = self.param(f"cls{li}_bias", nn.initializers.zeros, ())
-            logits = jnp.einsum("bac,kc->bak", cb, txt_proj)
-            cls_all.append(logits * jnp.exp(scale.astype(self.dtype)) + bias.astype(self.dtype))
+            # contrastive head (WorldDetect.cv4)
+            txt = text_embeds.astype(jnp.float32)
+            txt = txt / (jnp.linalg.norm(txt, axis=-1, keepdims=True) + 1e-12)
+            if c.bn_head:  # BNContrastiveHead (worldv2)
+                cb = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                                  name=f"head{li}_norm")(cb)
+            else:  # ContrastiveHead: L2 over channels
+                cb = cb / (jnp.linalg.norm(cb.astype(jnp.float32), axis=-1,
+                                           keepdims=True) + 1e-12).astype(self.dtype)
+            logit_scale = self.param(
+                f"head{li}_logit_scale",
+                nn.initializers.constant(-1.0 if c.bn_head else np.log(1 / 0.07)), ())
+            bias = self.param(f"head{li}_bias", nn.initializers.constant(-10.0), (1,))
+            logits = jnp.einsum("bhwc,kc->bhwk", cb.astype(jnp.float32), txt)
+            logits = logits * jnp.exp(logit_scale) + bias
+            cls_all.append(logits.reshape(b, hh * ww, -1))
 
         return jnp.concatenate(boxes_all, 1), jnp.concatenate(cls_all, 1)
 
@@ -211,7 +261,6 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, top_k: 
     a = boxes.shape[0]
     order = jnp.argsort(-scores)
     boxes_s = boxes[order]
-    scores_s = scores[order]
     area = jnp.maximum(boxes_s[:, 2] - boxes_s[:, 0], 0) * jnp.maximum(
         boxes_s[:, 3] - boxes_s[:, 1], 0)
 
@@ -293,7 +342,6 @@ class YOLOWorld:
 
         classes = [c.strip() for c in caption.rstrip(".").split(".") if c.strip()]
         txt = self.class_embeddings(classes)
-        h0, w0 = image.shape[:2]
         hh, ww = self.cfg.img_size
         img = cv2.resize(image, (ww, hh))
         boxes, logits = self._forward(self.params, jnp.asarray(img[None]), jnp.asarray(txt))
@@ -321,13 +369,149 @@ class YOLOWorld:
         return out, scores, phrases
 
 
-def load(checkpoint_path: str, preset: str = "l", clip_model=None, clip_tokenizer=None):
-    """Public YOLO-World checkpoint -> model (converter: ultralytics-style
-    key layout; structural mapping refined as checkpoints become available)."""
-    cfg = PRESETS[preset]
-    model = YOLOWorld.create(cfg)
-    # conversion of released checkpoints lands with the weights; random
-    # params keep shapes/compute faithful in zero-egress environments
-    model.clip = clip_model
-    model.clip_tokenizer = clip_tokenizer
-    return model
+# --------------------------------------------------------------- conversion
+
+# flax submodule name per ultralytics layer index
+_LAYERS = [
+    ("stem", "conv"), ("down1", "conv"), ("c2f1", "c2f"), ("down2", "conv"),
+    ("c2f2", "c2f"), ("down3", "conv"), ("c2f3", "c2f"), ("down4", "conv"),
+    ("c2f4", "c2f"), ("sppf", "sppf"), (None, "upsample"), (None, "concat"),
+    ("t4", "c2fattn"), (None, "upsample"), (None, "concat"), ("t3", "c2fattn"),
+    ("pan_d3", "conv"), (None, "concat"), ("t4b", "c2fattn"), ("pan_d4", "conv"),
+    (None, "concat"), ("t5", "c2fattn"), (None, "detect"),
+]
+_C2F_DEPTHS = {"c2f1": 3, "c2f2": 6, "c2f3": 6, "c2f4": 3,
+               "t4": 3, "t3": 3, "t4b": 3, "t5": 3}
+
+
+def convert_torch_checkpoint(path_or_sd, cfg: YOLOWorldConfig) -> dict:
+    """ultralytics ``yolov8*-world(v2)`` state dict -> flax variables.
+
+    Accepts a path to a torch file or an in-memory state dict; tolerates the
+    ``model.model.N`` prefix of a full YOLO wrapper export and the bare
+    ``model.N`` of ``DetectionModel.state_dict()``. Every checkpoint key must
+    be consumed (buffers like ``num_batches_tracked`` and the constant DFL
+    arange conv are verified/ignored); any leftover or missing key raises.
+    Reference load site: tools/segmentation_2d_yolo_world.py:132-139.
+    """
+    if isinstance(path_or_sd, dict):
+        sd = path_or_sd
+    else:
+        import torch
+
+        obj = torch.load(path_or_sd, map_location="cpu", weights_only=False)
+        sd = obj.get("model", obj) if isinstance(obj, dict) else obj
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+    sd = {k: v for k, v in sd.items()}
+    if any(k.startswith("model.model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        import numpy as _np
+
+        v = sd[key]
+        return _np.asarray(v.float().numpy() if hasattr(v, "float") else v, _np.float32)
+
+    def conv_bn(prefix):
+        return {
+            "conv": {"kernel": take(f"{prefix}.conv.weight").transpose(2, 3, 1, 0)},
+            "bn": {"scale": take(f"{prefix}.bn.weight"), "bias": take(f"{prefix}.bn.bias")},
+        }, {
+            "bn": {"mean": take(f"{prefix}.bn.running_mean"),
+                   "var": take(f"{prefix}.bn.running_var")},
+        }
+
+    params: dict = {}
+    stats: dict = {}
+
+    def put(name, p, s):
+        params[name] = p
+        if s:
+            stats[name] = s
+
+    def bottleneck(prefix):
+        p1, s1 = conv_bn(f"{prefix}.cv1")
+        p2, s2 = conv_bn(f"{prefix}.cv2")
+        return {"cv1": p1, "cv2": p2}, {"cv1": s1, "cv2": s2}
+
+    def c2f(prefix, n):
+        p1, s1 = conv_bn(f"{prefix}.cv1")
+        p2, s2 = conv_bn(f"{prefix}.cv2")
+        p = {"cv1": p1, "cv2": p2}
+        s = {"cv1": s1, "cv2": s2}
+        for j in range(n):
+            p[f"m{j}"], s[f"m{j}"] = bottleneck(f"{prefix}.m.{j}")
+        return p, s
+
+    def c2fattn(prefix, n):
+        p, s = c2f(prefix, n)
+        pa, sa = conv_bn(f"{prefix}.attn.proj_conv")
+        p["attn"] = {
+            "gl": {"kernel": take(f"{prefix}.attn.gl.weight").T},
+            "bias": take(f"{prefix}.attn.bias"),
+            "proj_conv": pa,
+        }
+        s["attn"] = {"proj_conv": sa}
+        return p, s
+
+    d = lambda n: max(1, round(n * cfg.depth))
+    for i, (name, kind) in enumerate(_LAYERS):
+        pfx = f"model.{i}"
+        if kind == "conv":
+            put(name, *conv_bn(pfx))
+        elif kind == "sppf":
+            p1, s1 = conv_bn(f"{pfx}.cv1")
+            p2, s2 = conv_bn(f"{pfx}.cv2")
+            put(name, {"cv1": p1, "cv2": p2}, {"cv1": s1, "cv2": s2})
+        elif kind == "c2f":
+            put(name, *c2f(pfx, d(_C2F_DEPTHS[name])))
+        elif kind == "c2fattn":
+            put(name, *c2fattn(pfx, d(_C2F_DEPTHS[name])))
+        elif kind == "detect":
+            for s_i in range(3):
+                for branch, ours in (("cv2", "reg"), ("cv3", "cls")):
+                    for j in range(2):
+                        p, st = conv_bn(f"{pfx}.{branch}.{s_i}.{j}")
+                        put(f"{ours}{s_i}_{j}", p, st)
+                    params[f"{ours}{s_i}_2"] = {
+                        "kernel": take(f"{pfx}.{branch}.{s_i}.2.weight").transpose(2, 3, 1, 0),
+                        "bias": take(f"{pfx}.{branch}.{s_i}.2.bias"),
+                    }
+                params[f"head{s_i}_bias"] = take(f"{pfx}.cv4.{s_i}.bias")
+                params[f"head{s_i}_logit_scale"] = take(
+                    f"{pfx}.cv4.{s_i}.logit_scale").reshape(())
+                if cfg.bn_head:
+                    params[f"head{s_i}_norm"] = {
+                        "scale": take(f"{pfx}.cv4.{s_i}.norm.weight"),
+                        "bias": take(f"{pfx}.cv4.{s_i}.norm.bias"),
+                    }
+                    stats[f"head{s_i}_norm"] = {
+                        "mean": take(f"{pfx}.cv4.{s_i}.norm.running_mean"),
+                        "var": take(f"{pfx}.cv4.{s_i}.norm.running_var"),
+                    }
+            # constant DFL expectation conv: verify it is arange, then drop
+            dfl_key = f"{pfx}.dfl.conv.weight"
+            if dfl_key in sd:
+                dfl = take(dfl_key).reshape(-1)
+                if not np.allclose(dfl, np.arange(cfg.reg_max, dtype=np.float32)):
+                    raise ValueError("unexpected DFL conv weights")
+
+    leftovers = {k for k in sd if k not in consumed
+                 and not k.endswith("num_batches_tracked")}
+    if leftovers:
+        raise ValueError(f"unconsumed checkpoint keys: {sorted(leftovers)[:8]} "
+                         f"(+{max(0, len(leftovers) - 8)} more)")
+    return {"params": params, "batch_stats": stats}
+
+
+def load(checkpoint_path: str, preset: str = "l", clip_model=None, clip_tokenizer=None,
+         dtype=jnp.float32):
+    """Public YOLO-World checkpoint -> ready model (converter above)."""
+    cfg = PRESETS[preset] if isinstance(preset, str) else preset
+    variables = convert_torch_checkpoint(checkpoint_path, cfg)
+    return YOLOWorld(cfg, variables, clip_model=clip_model,
+                     clip_tokenizer=clip_tokenizer, dtype=dtype)

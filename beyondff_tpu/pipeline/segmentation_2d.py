@@ -136,22 +136,20 @@ class Segmentor2D:
         self._query_embedding_cache[query] = mean
         return mean
 
-    def filter_boxes_with_clip(self, image: np.ndarray, boxes_xyxy: np.ndarray,
-                               query: str) -> np.ndarray:
-        """Keep boxes whose crop's CLIP similarity >= threshold. Returns
-        (keep_mask, similarities).
-
-        Crop-source parity: the reference crops from the DETECTOR-transformed
-        tensor, not the raw frame, and casts back to uint8 with `* 255` whose
-        wraparound it inherits. GDINO mode crops the ImageNet-normalized
-        resized tensor (bbox_filter, segmentation_2d.py:345-380: values in
-        ~[-2.1, 2.6] so `(x*255).astype(uint8)` wraps); YOLO-World mode crops
-        the raw uint8 frame where `x*255` wraps to (-x) mod 256
+    def _clip_crops(self, image: np.ndarray, boxes_xyxy: np.ndarray,
+                    frame_hw=None) -> List[np.ndarray]:
+        """Box crops for CLIP scoring, with crop-source parity: the reference
+        crops from the DETECTOR-transformed tensor, not the raw frame, and
+        casts back to uint8 with `* 255` whose wraparound it inherits. GDINO
+        mode crops the ImageNet-normalized resized tensor (bbox_filter,
+        segmentation_2d.py:345-380: values in ~[-2.1, 2.6] so
+        `(x*255).astype(uint8)` wraps); YOLO-World mode crops the raw uint8
+        frame where `x*255` wraps to (-x) mod 256
         (segmentation_2d_yolo_world.py:505-515). Both wraparounds are
         reproduced bit-exactly; the only deviation is the resize geometry —
         the detector input here is fixed cfg.image_size instead of the
         reference's aspect-preserving short-side-800 resize (PARITY.md)."""
-        h, w = image.shape[:2]
+        h, w = frame_hw if frame_hw is not None else image.shape[:2]
         if self.cfg.detector.kind == "yolo_world":
             src = image  # raw uint8 frame; boxes already at frame resolution
             sx = sy = 1.0
@@ -173,18 +171,27 @@ class Segmentor2D:
                 crops.append(np.zeros((2, 2, 3), np.uint8))
                 continue
             crops.append((src[y0:y1, x0:x1] * 255).astype(np.uint8))
+        return crops
+
+    def _clip_sims(self, crops: List[np.ndarray], query: str) -> np.ndarray:
         batch = self.clip.preprocess(crops)
         feats = np.asarray(self.clip.encode_image(batch), np.float32)
         feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
-        sims = feats @ self.query_embedding(query)
+        return feats @ self.query_embedding(query)
+
+    def filter_boxes_with_clip(self, image: np.ndarray, boxes_xyxy: np.ndarray,
+                               query: str) -> np.ndarray:
+        """Keep boxes whose crop's CLIP similarity >= threshold. Returns
+        (keep_mask, similarities). See :meth:`_clip_crops` for parity notes."""
+        sims = self._clip_sims(self._clip_crops(image, boxes_xyxy), query)
         return sims >= self.cfg.detector.similarity_threshold, sims
 
     # --------------------------------------------------------- detection
-    def _detect_and_filter(self, image: np.ndarray, query: str, detection):
-        """Phrase filter + CLIP supervision + top-K for one frame's raw
-        detections. Returns (boxes_xyxy, scores, phrases) or None."""
+    def _phrase_filter(self, image: np.ndarray, query: str, detection, frame_hw=None):
+        """Phrase filter for one frame; returns (boxes_xyxy, scores, phrases)
+        or None (reference: segmentation_2d.py:133-141)."""
         d = self.cfg.detector
-        h, w = image.shape[:2]
+        h, w = frame_hw if frame_hw is not None else image.shape[:2]
         boxes, scores, phrases = detection
         if d.must_match_query and len(phrases):
             needle = d.must_match_class or query
@@ -193,18 +200,11 @@ class Segmentor2D:
             phrases = [p for p, k in zip(phrases, keep) if k]
         if boxes.shape[0] == 0:
             return None
+        return box_cxcywh_to_xyxy(boxes, w, h), scores, phrases
 
-        boxes_xyxy = box_cxcywh_to_xyxy(boxes, w, h)
-        # gate on the config flag, not CLIP availability: YOLO-World mode
-        # always loads CLIP (class embeddings) but only filters when asked
-        # (reference: segmentation_2d_yolo_world.py:213-224)
-        if self.clip is not None and d.filter_with_clip:
-            keep, sims = self.filter_boxes_with_clip(image, boxes_xyxy, query)
-            boxes_xyxy = boxes_xyxy[keep]
-            scores = sims[keep]  # the reference replaces logits with CLIP sims
-            phrases = [p for p, k in zip(phrases, keep) if k]
-            if boxes_xyxy.shape[0] == 0:
-                return None
+    def _cap_detections(self, filtered):
+        d = self.cfg.detector
+        boxes_xyxy, scores, phrases = filtered
         if boxes_xyxy.shape[0] > d.max_detections:
             order = np.argsort(-np.asarray(scores))[: d.max_detections]
             boxes_xyxy = boxes_xyxy[order]
@@ -212,22 +212,89 @@ class Segmentor2D:
             phrases = [phrases[i] for i in order]
         return boxes_xyxy, np.asarray(scores), phrases
 
-    def _segment_frames(self, images: List[np.ndarray], dets: List) -> List[np.ndarray]:
-        """Box-prompted SAM over several frames: one batched image encode,
-        per-frame decode with box counts padded to ``max_detections`` so a
-        single compiled decode program serves every frame."""
+    def _detect_and_filter_batch(self, images, raw_dets, query: str, frame_hw=None):
+        """Per-frame phrase filter + ONE batched CLIP crop scoring for the
+        whole frame batch (the reference encodes crops box by box,
+        segmentation_2d.py:383-388) + per-frame top-K. Returns a list of
+        (boxes_xyxy, scores, phrases) / None. ``frame_hw``: coordinate frame
+        for the boxes when ``images`` are scaled copies (single-upload path)."""
         d = self.cfg.detector
+        pre = [self._phrase_filter(im, query, det, frame_hw)
+               for im, det in zip(images, raw_dets)]
+        # gate on the config flag, not CLIP availability: YOLO-World mode
+        # always loads CLIP (class embeddings) but only filters when asked
+        # (reference: segmentation_2d_yolo_world.py:213-224)
+        if self.clip is None or not d.filter_with_clip:
+            return [None if p is None else self._cap_detections(p) for p in pre]
+        crops, counts = [], []
+        for im, p in zip(images, pre):
+            if p is None:
+                counts.append(0)
+                continue
+            c = self._clip_crops(im, p[0], frame_hw)
+            crops.extend(c)
+            counts.append(len(c))
+        if not crops:
+            return [None] * len(images)
+        sims_all = self._clip_sims(crops, query)
+        out, off = [], 0
+        for p, n in zip(pre, counts):
+            if p is None:
+                out.append(None)
+                continue
+            boxes_xyxy, _scores, phrases = p
+            sims = sims_all[off:off + n]
+            off += n
+            keep = sims >= d.similarity_threshold
+            boxes_xyxy = boxes_xyxy[keep]
+            # the reference replaces detector logits with CLIP sims
+            scores = sims[keep]
+            phrases = [ph for ph, k in zip(phrases, keep) if k]
+            out.append(None if boxes_xyxy.shape[0] == 0
+                       else self._cap_detections((boxes_xyxy, scores, phrases)))
+        return out
+
+    def _detect_and_filter(self, image: np.ndarray, query: str, detection):
+        """Single-frame variant of :meth:`_detect_and_filter_batch`."""
+        return self._detect_and_filter_batch([image], [detection], query)[0]
+
+    def _segment_frames(self, images: List[np.ndarray], dets: List) -> List[np.ndarray]:
+        """Box-prompted SAM over several frames: one batched image encode and
+        ONE batched decode dispatch for the whole frame batch (box counts
+        bucketed to the next power of two so a few compiled programs serve
+        every frame), with masks postprocessed + bit-packed on device — the
+        reference decodes per frame and ships dense masks to the host
+        (segmentation_2d.py:172-191)."""
         h, w = images[0].shape[:2]
         x, input_hw = self.sam.preprocess(np.stack(images))
-        embs = np.asarray(self.sam.encode_image(x, input_hw=input_hw))
-        out = []
+        embs = self.sam.encode_image(x, input_hw=input_hw)  # stays on device
+        return self._decode_masks(embs, dets, input_hw, (h, w))
+
+    def _decode_masks(self, embs, dets: List, input_hw, orig_hw) -> List[np.ndarray]:
+        """Batched box decode + device bit-pack + one packed host download."""
+        d = self.cfg.detector
+        h, w = orig_hw
+        b = int(embs.shape[0])
+        m_max = max(bx.shape[0] for bx, _s, _p in dets)
+        k = 1
+        while k < min(max(m_max, 1), d.max_detections):
+            k *= 2
+        padded = np.zeros((b, k, 4), np.float32)
         for i, (boxes_xyxy, _scores, _phrases) in enumerate(dets):
             m = boxes_xyxy.shape[0]
-            padded = np.zeros((d.max_detections, 4), np.float32)
-            padded[:m] = self.sam.transform_boxes(boxes_xyxy, (h, w))
-            low_res, _ = self.sam.decode_boxes(embs[i], padded)
-            masks = self.sam.postprocess_masks(low_res[:m], input_hw, (h, w))
-            out.append(masks)
+            padded[i, :m] = self.sam.transform_boxes(boxes_xyxy, (h, w))
+        packed, _iou = self.sam.decode_boxes_packed(embs, padded, input_hw, (h, w))
+        import jax.numpy as jnp
+
+        sizes = [bx.shape[0] for bx, _s, _p in dets]
+        flat = np.asarray(jnp.concatenate(  # one host transfer for the batch
+            [packed[i, :m] for i, m in enumerate(sizes)], axis=0))
+        masks = np.unpackbits(flat, axis=-1, bitorder="little")[:, : h * w]
+        out = []
+        off = 0
+        for m in sizes:
+            out.append(masks[off:off + m].reshape(m, h, w).astype(bool))
+            off += m
         return out
 
     # ------------------------------------------------------------ per frame
@@ -249,16 +316,34 @@ class Segmentor2D:
     # ------------------------------------------------------------ per scene
     def process_scene(self, scene_id: str, query: str) -> List[Dict]:
         """All frames of a scene, batched ``detector.frame_batch`` at a time
-        through the detector and SAM encoder, with prefetched image loading."""
+        through the detector and SAM encoder, with prefetched image loading.
+
+        Default (``detector.device_frames``): each frame uploads ONCE as a
+        SAM-scaled uint8 buffer from the prefetch thread (overlapping device
+        compute); the detector input derives from it on device and SAM
+        encodes it directly — replacing the reference's three separate
+        host-side model preprocessing chains per frame
+        (segmentation_2d.py:247-278)."""
         p = self.cfg.paths
         d = self.cfg.detector
         size = (self.cfg.frames.width_2d, self.cfg.frames.height_2d)
+        frame_hw = (self.cfg.frames.height_2d, self.cfg.frames.width_2d)
         frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id,
                                           self.cfg.frames.downsample_ratio)
+        device_frames = (d.device_frames and d.kind != "yolo_world"
+                         and hasattr(self.detector, "predict_batch_frames")
+                         and hasattr(self.sam, "encode_frames"))
 
         def load(fid):
-            return fid, bio.load_image(
+            img = bio.load_image(
                 os.path.join(p.scene_2d_dir, scene_id, "color", f"{fid}.jpg"), size=size)
+            if device_frames:
+                import jax.numpy as jnp
+
+                small, input_hw = self.sam.scale_frame(img)
+                # upload starts here, in the prefetch thread (async dispatch)
+                return fid, small, input_hw, jnp.asarray(small)
+            return fid, img
 
         from beyondff_tpu.utils.prefetch import prefetch_map
 
@@ -266,9 +351,39 @@ class Segmentor2D:
         records: List[Dict] = []
         buf: List = []
 
-        def flush():
-            if not buf:
-                return
+        def emit(kept, masks):
+            for (fid, _img, (bx, scores, phrases)), m in zip(kept, masks):
+                records.append({
+                    "frame_id": f"{fid}.jpg",
+                    "segmented_frame_masks": m[:, None].astype(bool),
+                    "confidences": [float(s) for s in scores],
+                    "labels": list(phrases),
+                })
+
+        def flush_device():
+            import jax.numpy as jnp
+
+            fids = [b[0] for b in buf]
+            smalls = [b[1] for b in buf]
+            input_hw = buf[0][2]
+            devs = [b[3] for b in buf]
+            raw = self.detector.predict_batch_frames(
+                jnp.stack(devs), query, box_threshold=d.box_threshold,
+                text_threshold=d.text_threshold)
+            filtered_all = self._detect_and_filter_batch(smalls, raw, query,
+                                                         frame_hw=frame_hw)
+            kept, kept_devs = [], []
+            for fid, small, filtered, dev in zip(fids, smalls, filtered_all, devs):
+                if filtered is not None:
+                    kept.append((fid, small, filtered))
+                    kept_devs.append(dev)
+            if kept:
+                embs = self.sam.encode_frames(jnp.stack(kept_devs))
+                masks = self._decode_masks(embs, [k[2] for k in kept], input_hw, frame_hw)
+                emit(kept, masks)
+            buf.clear()
+
+        def flush_host():
             fids, images = zip(*buf)
             if batched:
                 raw = self.detector.predict_batch(
@@ -279,26 +394,23 @@ class Segmentor2D:
                                              text_threshold=d.text_threshold)
                        for im in images]
             kept = []
-            for fid, image, det in zip(fids, images, raw):
-                filtered = self._detect_and_filter(image, query, det)
+            filtered_all = self._detect_and_filter_batch(list(images), raw, query)
+            for fid, image, filtered in zip(fids, images, filtered_all):
                 if filtered is not None:
                     kept.append((fid, image, filtered))
             if kept:
                 masks = self._segment_frames([k[1] for k in kept], [k[2] for k in kept])
-                for (fid, _img, (bx, scores, phrases)), m in zip(kept, masks):
-                    records.append({
-                        "frame_id": f"{fid}.jpg",
-                        "segmented_frame_masks": m[:, None].astype(bool),
-                        "confidences": [float(s) for s in scores],
-                        "labels": list(phrases),
-                    })
+                emit(kept, masks)
             buf.clear()
+
+        flush = flush_device if device_frames else flush_host
 
         for item in prefetch_map(load, frame_ids, depth=2 * max(1, d.frame_batch)):
             buf.append(item)
             if len(buf) == max(1, d.frame_batch):
                 flush()
-        flush()
+        if buf:
+            flush()
         return records
 
 

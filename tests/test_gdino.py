@@ -152,3 +152,23 @@ def test_ms_deform_attn_gather_path_matches_matmul_path(rng, monkeypatch):
     out_matmul = np.asarray(dfm.ms_deform_attn(
         jnp.asarray(val), [(h, w)], jnp.asarray(loc), jnp.asarray(wgt)))
     np.testing.assert_allclose(out_gather, out_matmul, rtol=1e-4, atol=1e-5)
+
+
+def test_predict_batch_frames_matches_host_path(rng):
+    """Single-upload detection: when the uploaded frame is already at the
+    detector input size the on-device resize is the identity, so the frames
+    path must reproduce the host path exactly."""
+    import jax.numpy as jnp
+
+    from beyondff_tpu.models.gdino import GroundingDINO
+
+    gd = GroundingDINO.create("test", seed=0)
+    h, w = gd.cfg.image_size
+    imgs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8) for _ in range(2)]
+    ref = gd.predict_batch(imgs, "chair", box_threshold=-1.0)
+    got = gd.predict_batch_frames(jnp.stack([jnp.asarray(i) for i in imgs]),
+                                  "chair", box_threshold=-1.0)
+    for (rb, rs, rp), (gb, gs, gp) in zip(ref, got):
+        np.testing.assert_allclose(gb, rb, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(gs, rs, rtol=1e-4, atol=1e-5)
+        assert gp == rp

@@ -287,3 +287,45 @@ def test_tp_sharded_inference_matches_replicated(rng):
     fin = np.isfinite(np.asarray(ref_logits))
     np.testing.assert_allclose(np.asarray(logits)[fin], np.asarray(ref_logits)[fin],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_process_scene_frame_sharded_matches_unsharded(rng, tmp_path):
+    """The seg2d driver end-to-end with frame_batch=8 (frames auto-sharded
+    over the 8 virtual devices in predict_batch/encode_image) must produce
+    the same records as frame_batch=1 (strictly unsharded single-frame
+    dispatches) — the multi-chip path of the 2D stage
+    (reference hot loop: tools/segmentation_2d.py:243)."""
+    import cv2
+
+    from beyondff_tpu.config import Config
+    from beyondff_tpu.pipeline.segmentation_2d import Segmentor2D
+
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(8):
+        img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        cv2.imwrite(str(scene / f"{i}.jpg"), img)
+
+    def records(frame_batch):
+        cfg = Config.from_dict({
+            "paths": {"scene_2d_dir": str(tmp_path)},
+            "frames": {"width_2d": 64, "height_2d": 48, "downsample_ratio": 1},
+            "detector": {"box_threshold": -1.0, "must_match_query": False,
+                         "similarity_threshold": -1.0, "max_detections": 4,
+                         "dtype": "float32", "frame_batch": frame_batch},
+        })
+        seg = Segmentor2D(cfg)
+        return seg.process_scene("scene0000_00", "clothes")
+
+    sharded = records(8)
+    single = records(1)
+    assert len(sharded) == len(single) == 8
+    for a, b in zip(sharded, single):
+        assert a["frame_id"] == b["frame_id"]
+        assert a["labels"] == b["labels"]
+        np.testing.assert_allclose(a["confidences"], b["confidences"],
+                                   rtol=1e-4, atol=1e-5)
+        ma = np.asarray(a["segmented_frame_masks"])
+        mb = np.asarray(b["segmented_frame_masks"])
+        assert ma.shape == mb.shape
+        assert (ma != mb).mean() < 1e-3  # bilinear reduction-order flips only

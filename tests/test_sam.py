@@ -50,3 +50,52 @@ def test_batch_invariance(tiny_sam):
     both, _ = tiny_sam.decode_boxes(emb, boxes)
     one, _ = tiny_sam.decode_boxes(emb, boxes[:1])
     np.testing.assert_allclose(np.asarray(both[0]), np.asarray(one[0]), rtol=2e-4, atol=2e-4)
+
+
+def test_decode_boxes_packed_matches_loop_path(rng):
+    """The batched decode + device postprocess + bit-pack path must agree
+    with the per-frame decode_boxes/postprocess_masks path."""
+    from beyondff_tpu.models import sam as sam_mod
+
+    sam = sam_mod.SAM.create("test", seed=0)
+    b, k, h, w = 2, 4, 30, 41  # odd resolution: exercises the pad-to-8 branch
+    frames = rng.integers(0, 255, (b, h, w, 3), dtype=np.uint8)
+    x, input_hw = sam.preprocess(frames)
+    embs = sam.encode_image(x, input_hw=input_hw)
+    boxes = np.zeros((b, k, 4), np.float32)
+    boxes[:, :, 2:] = rng.uniform(10, sam.cfg.img_size, (b, k, 2))
+
+    packed, iou = sam.decode_boxes_packed(embs, boxes, input_hw, (h, w))
+    packed = np.asarray(packed)
+    assert packed.shape == (b, k, -(-h * w // 8))
+    assert iou.shape == (b, k)
+
+    embs_np = np.asarray(embs)
+    for i in range(b):
+        low, _ = sam.decode_boxes(embs_np[i], boxes[i])
+        ref = sam.postprocess_masks(low, input_hw, (h, w))
+        got = np.unpackbits(packed[i], axis=-1, bitorder="little")[:, : h * w]
+        got = got.reshape(k, h, w).astype(bool)
+        # identical math modulo reduction order: allow measure-zero flips
+        assert (got != ref).mean() < 1e-3
+
+
+def test_encode_frames_matches_preprocess_path(rng):
+    """Single-upload path: device pad+normalize+encode == host preprocess +
+    encode_image (bit-comparable inputs by construction)."""
+    import jax.numpy as jnp
+
+    from beyondff_tpu.models import sam as sam_mod
+
+    sam = sam_mod.SAM.create("test", seed=0)
+    frames = rng.integers(0, 255, (2, 30, 41, 3), dtype=np.uint8)
+    x, input_hw = sam.preprocess(frames)
+    ref = np.asarray(sam.encode_image(x, input_hw=input_hw))
+
+    smalls = []
+    for f in frames:
+        small, hw = sam.scale_frame(f)
+        assert hw == input_hw
+        smalls.append(small)
+    got = np.asarray(sam.encode_frames(jnp.stack(smalls)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

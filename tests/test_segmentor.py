@@ -141,3 +141,36 @@ def test_yolo_mode_filter_gated_on_config(yseg):
         yseg.cfg = yseg.cfg.override(**{"detector.filter_with_clip": False})
     assert out2 is not None  # threshold -1 keeps the box
     assert abs(float(out2[1][0]) - 0.123) > 1e-6  # conf replaced by CLIP sim
+
+
+def test_process_scene_device_frames_runs(tmp_path, monkeypatch):
+    """The single-upload scene loop produces well-formed records and the
+    host-path loop stays available via device_frames=false."""
+    import cv2
+
+    rng = np.random.default_rng(6)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(4):
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+
+    def run(device_frames):
+        cfg = Config.from_dict({
+            "paths": {"scene_2d_dir": str(tmp_path)},
+            "frames": {"width_2d": 64, "height_2d": 48, "downsample_ratio": 1},
+            "detector": {"box_threshold": -1.0, "must_match_query": False,
+                         "similarity_threshold": -10.0, "max_detections": 4,
+                         "dtype": "float32", "frame_batch": 2,
+                         "device_frames": device_frames},
+        })
+        return Segmentor2D(cfg).process_scene("scene0000_00", "clothes")
+
+    recs = run(True)
+    assert len(recs) == 4
+    for r in recs:
+        m = np.asarray(r["segmented_frame_masks"])
+        assert m.shape[1:] == (1, 48, 64) and m.dtype == bool
+        assert len(r["confidences"]) == m.shape[0] == len(r["labels"])
+    recs_host = run(False)
+    assert len(recs_host) == 4
