@@ -79,3 +79,52 @@ def test_frame_overlay(tmp_path):
     raw = reader.image("0")
     assert out.shape[:2] == raw.shape[:2]
     assert (out[..., ::-1] != raw).any()
+
+
+def test_web_export(tmp_path):
+    """Interactive single-file web viewer (reference pyviz3d export parity):
+    one HTML with the RGB + GT + stage-1 layers embedded and toggleable."""
+    import json
+    import os
+    import re
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import make_synthetic_scene
+
+    from beyondff_tpu.config import Config
+    from beyondff_tpu.visualization.webviz import export_scene
+
+    root = str(tmp_path / "scene")
+    cfg = Config.from_yaml(make_synthetic_scene.generate(root, query="clothes", seed=3))
+    path = export_scene(cfg, "scene0000_00", class_names=["clothes"],
+                        out_dir=str(tmp_path / "viz"), max_points=5000)
+    assert os.path.exists(path) and path.endswith("index.html")
+    html = open(path).read()
+    n = int(re.search(r"const N = (\d+);", html).group(1))
+    assert 0 < n <= 5000
+    layers = json.loads(re.search(r"const LAYERS = (\[.*?\]);", html, re.S).group(1))
+    names = [l["name"] for l in layers]
+    assert "gt instances" in names and "stage-1 masks" in names
+    gt = next(l for l in layers if l["name"] == "gt instances")
+    assert gt["legend"], "GT layer must carry an instance legend"
+    import base64
+
+    rgb = base64.b64decode(gt["rgb"])
+    assert len(rgb) == n * 3
+    # no external resources: the file must work offline from file://
+    assert "http://" not in html and "https://" not in html
+
+
+def test_web_scene_downsample_and_validation(rng):
+    import numpy as np
+    import pytest
+
+    from beyondff_tpu.visualization.webviz import WebScene
+
+    xyz = rng.normal(size=(1000, 3)).astype(np.float32)
+    scene = WebScene(xyz, max_points=100)
+    assert scene.xyz.shape == (100, 3)
+    scene.add_layer("ok", np.zeros((1000, 3), np.uint8))  # pre-downsample length
+    with pytest.raises(ValueError):
+        scene.add_layer("bad", np.zeros((50, 3), np.uint8))

@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--scene", required=True)
     ap.add_argument("--cls", default=None, help="class for mask3d/mask2d/refined modes")
     ap.add_argument("--modes", default="gt,stage1",
-                    help="comma list: gt,stage1,mask3d,mask2d,refined")
+                    help="comma list: gt,stage1,mask3d,mask2d,refined,web")
     ap.add_argument("--out", default="visualization_out")
     ap.add_argument("--png", action="store_true", help="also render PNG snapshots")
     args = ap.parse_args()
@@ -33,6 +33,17 @@ def main():
     outputs = []
     for mode in args.modes.split(","):
         mode = mode.strip()
+        if mode == "web":
+            # interactive single-file viewer with per-mode toggles (the
+            # reference's pyviz3d web export, visualize_scannet200.py:651-722)
+            from beyondff_tpu.visualization.webviz import export_scene
+
+            path = export_scene(cfg, args.scene,
+                                class_names=[args.cls] if args.cls else [],
+                                out_dir=args.out)
+            outputs.append(path)
+            print(f"open in a browser: {path}")
+            continue
         if mode == "gt":
             outputs.append(viz.gt_instances())
         elif mode == "stage1":
