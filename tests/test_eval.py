@@ -207,3 +207,37 @@ def test_missing_scan_id_no_cross_scene_collision(rng):
     avgs = ev.evaluate(preds, [s[1] for s in scenes], [s[2] for s in scenes],
                        verbose=False)
     assert avgs["all_ap"] == pytest.approx(1.0)
+
+
+def test_box_eval_parallel_matches_serial(rng):
+    """workers>1 (the reference's mp.Pool(16) box path,
+    scannetv2_inst_eval.py:620-623) must reproduce the serial result."""
+    ev = ScanNetEval(LABELS)
+    scenes_sem, scenes_ins, scenes_coords, scenes_preds = [], [], [], []
+    for s in range(3):
+        n = 400
+        sem = np.zeros(n, np.int32)
+        ins = np.full(n, -100, np.int32)
+        coords = rng.uniform(0, 10, (n, 3))
+        sem[:150] = 2
+        ins[:150] = 0
+        coords[:150] = rng.uniform([0, 0, 0], [1, 1, 1], (150, 3))
+        preds = [
+            {"scan_id": f"s{s}", "label_id": 1, "conf": 0.9,
+             "box": np.array([0, 0, 0, 1, 1, 1], np.float64)},
+            {"scan_id": f"s{s}", "label_id": 1, "conf": 0.4,
+             "box": rng.uniform(0, 5, 6).astype(np.float64)},
+        ]
+        scenes_sem.append(sem)
+        scenes_ins.append(ins)
+        scenes_coords.append(coords)
+        scenes_preds.append(preds)
+    serial = ev.evaluate_box(scenes_preds, scenes_sem, scenes_ins, scenes_coords,
+                             verbose=False, workers=1)
+    par = ev.evaluate_box(scenes_preds, scenes_sem, scenes_ins, scenes_coords,
+                          verbose=False, workers=2)
+    np.testing.assert_allclose(par["all_ap"], serial["all_ap"], rtol=1e-12)
+    np.testing.assert_allclose(par["all_ap_50%"], serial["all_ap_50%"], rtol=1e-12)
+    for lab in LABELS:
+        a, b = par["classes"][lab]["ap"], serial["classes"][lab]["ap"]
+        assert (np.isnan(a) and np.isnan(b)) or a == b
