@@ -58,13 +58,36 @@ def _interp_matmul(v, h, w, b, heads, head_dim, gx, gy, x0, y0, aw, dtype):
     return contrib.astype(dtype)
 
 
+def _use_windowed(windowed: bool) -> bool:
+    """Config-requested windowed sampling, gated to TPU-class backends with
+    an env override (BFF_DEFORM_WINDOWED=0 forces the exact path, =1 forces
+    the kernel even off-TPU via the Pallas interpreter — tests)."""
+    import os
+
+    env = os.environ.get("BFF_DEFORM_WINDOWED")
+    if env is not None:
+        return env != "0"
+    if not windowed:
+        return False
+    from beyondff_tpu.kernels.dispatch import on_tpu
+
+    return on_tpu()
+
+
 def ms_deform_attn(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locs: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    windowed: bool = False,
 ) -> jnp.ndarray:
-    """Core sampling. Returns (B, Q, heads*head_dim)."""
+    """Core sampling. Returns (B, Q, heads*head_dim).
+
+    ``windowed=True`` is valid ONLY when the queries are the standard
+    all-level raster (the encoder token order): the two large levels then
+    route through the tile-windowed MXU kernel (kernels/deform_window.py);
+    offsets beyond the tile window contribute 0 (documented deviation there).
+    """
     b, _, heads, head_dim = value.shape
     q = sampling_locs.shape[1]
     n_levels = len(spatial_shapes)
@@ -74,6 +97,15 @@ def ms_deform_attn(
     offsets = [0]
     for s in sizes[:-1]:
         offsets.append(offsets[-1] + s)
+
+    use_win = _use_windowed(windowed) and q == sum(sizes)
+    if use_win:
+        from beyondff_tpu.kernels import dispatch as _dispatch
+        from beyondff_tpu.kernels import deform_window as dw
+
+        interp = not _dispatch.on_tpu()
+        shapes_key = tuple((int(h), int(w)) for h, w in spatial_shapes)
+        max_hw = max(sizes)
 
     p_pts = sampling_locs.shape[4]
     out = jnp.zeros((b, q, heads, head_dim), value.dtype)
@@ -86,6 +118,14 @@ def ms_deform_attn(
         gy = loc[..., 1] * h - 0.5
         x0 = jnp.floor(gx)
         y0 = jnp.floor(gy)
+
+        if use_win and h * w > _MATMUL_LEVEL_MAX:
+            tile = 16 if h * w == max_hw else 8
+            assign = dw.build_assignment(shapes_key, li, tile)
+            out = out + dw.sample_level_windowed(
+                v, gx, gy, attention_weights[:, :, :, li], assign, h, w,
+                interpret=interp)
+            continue
 
         if h * w <= _MATMUL_LEVEL_MAX:
             # small levels: separable interpolation as two MXU matmuls beats
@@ -151,6 +191,9 @@ class MSDeformAttn(nn.Module):
     levels: int = 4
     points: int = 4
     dtype: jnp.dtype = jnp.float32
+    # tile-windowed MXU sampling for large levels; set ONLY where queries are
+    # the all-level raster (the encoder; decoder refs move per layer)
+    windowed: bool = False
 
     @nn.compact
     def __call__(self, query, reference_points, value, spatial_shapes, value_mask=None):
@@ -181,5 +224,5 @@ class MSDeformAttn(nn.Module):
             ref_c = reference_points[..., :2][:, :, None, :, None, :]
             ref_wh = reference_points[..., 2:][:, :, None, :, None, :]
             locs = ref_c + offsets / self.points * ref_wh * 0.5
-        out = ms_deform_attn(v, spatial_shapes, locs, weights)
+        out = ms_deform_attn(v, spatial_shapes, locs, weights, windowed=self.windowed)
         return nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(out)

@@ -49,6 +49,9 @@ class GDINOConfig:
     num_queries: int = 900
     max_text_len: int = 256
     image_size: Tuple[int, int] = (800, 1200)
+    # tile-windowed MXU deformable sampling in the encoder (TPU; exact-path
+    # fallback via BFF_DEFORM_WINDOWED=0 — see kernels/deform_window.py)
+    enc_windowed_deform: bool = True
 
 
 PRESETS = {
@@ -151,7 +154,8 @@ class EnhancerLayer(nn.Module):
         txt = nn.LayerNorm(dtype=self.dtype, name="text_ln2")(txt + t)
         # 3. deformable image self-attention + FFN (query = src + pos, value = src)
         i = MSDeformAttn(c.hidden, c.heads, c.levels, c.enc_points,
-                         dtype=self.dtype, name="deform")(img + pos, ref_points, img, shapes)
+                         dtype=self.dtype, windowed=c.enc_windowed_deform,
+                         name="deform")(img + pos, ref_points, img, shapes)
         img = nn.LayerNorm(dtype=self.dtype, name="img_ln1")(img + i)
         i = nn.Dense(c.ffn_dim, dtype=self.dtype, name="img_fc1")(img)
         i = nn.relu(i)
