@@ -247,7 +247,7 @@ def main():
         sam = sam_mod.SAM.create("vit_h", dtype=dtype, device_fill=True)
         clip = clip_mod.CLIP.create("ViT-L/14", dtype=dtype, device_fill=True)
         gdino = GroundingDINO.create(
-            gdino_model.GDINOConfig(image_size=(800, 1200)), dtype=dtype, device_fill=True)
+            gdino_model.PRESETS["swinb"], dtype=dtype, device_fill=True)
     log(f"models built in {time.time() - t0:.1f}s")
     models = {
         "gdino": gdino, "clip": clip, "sam": sam,

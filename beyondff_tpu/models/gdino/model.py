@@ -48,7 +48,13 @@ class GDINOConfig:
     ffn_dim: int = 2048
     num_queries: int = 900
     max_text_len: int = 256
-    image_size: Tuple[int, int] = (800, 1200)
+    # the reference's inference transform is aspect-preserving
+    # shorter-side-800 (groundingdino load_image: RandomResize([800],
+    # max_size=1333), tools/segmentation_2d.py:247); for the 1296x968 ScanNet
+    # frames that is (800, 1071) — fixed here at (800, 1072) (multiple of 8
+    # for level tiling; the reference's (800, 1200)-sized default padded 12%
+    # more tokens than the frames ever carry)
+    image_size: Tuple[int, int] = (800, 1072)
     # tile-windowed MXU deformable sampling in the encoder (TPU; exact-path
     # fallback via BFF_DEFORM_WINDOWED=0 — see kernels/deform_window.py)
     enc_windowed_deform: bool = True

@@ -58,7 +58,7 @@ def main():
         gd_cfg = gdino_model.PRESETS["test"]
         sam_name = "test"
     else:
-        gd_cfg = gdino_model.GDINOConfig(image_size=(800, 1200))
+        gd_cfg = gdino_model.PRESETS["swinb"]
         sam_name = "vit_h"
 
     gdino = GroundingDINO.create(gd_cfg, dtype=dtype, device_fill=True)
