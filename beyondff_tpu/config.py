@@ -44,6 +44,20 @@ class FramesConfig:
     # resize raw uint16 depth on device (8x less host->device traffic; ~1e-3
     # interpolation differences vs the cv2 host path — set False for bit-exact)
     device_depth_resize: bool = True
+    # upload every k-th depth pixel (k x k decimation before the device
+    # resize) — an ACCURACY-AFFECTING speed lever, k=1 (off) by default.
+    # Visibility tolerates 0.08 m, so only points near depth edges flip, but
+    # the percentile filter cascade can amplify boundary flips (measured on
+    # the knife-edge synthetic fixture: final masks differ at k=2). Cuts the
+    # dominant host->device transfer k^2 x (2x faster stage on a tunneled
+    # v5e). Only takes effect with device_depth_resize.
+    depth_decimation: int = 1
+    # cache decoded (and decimated) uint16 depth under
+    # paths.checkpoint_dir/depth_cache — PNG decode is ~6 ms/frame on the
+    # one-core host and the class sweep re-reads every scene's depth once
+    # per class (reference behaviour, run_evl.py); the cache turns repeat
+    # visits into sub-ms mmap loads. Pure IO memoization, no value change.
+    depth_cache: bool = True
 
 
 @dataclass

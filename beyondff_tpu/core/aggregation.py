@@ -112,6 +112,97 @@ def aggregate(
     )
 
 
+def aggregate_chunks(
+    chunks,  # list of (device (F, m_pad, N_pad) bool, row_sizes) lift chunks
+    n_points: int,
+    confidences: np.ndarray,
+    labels: Sequence[str],
+    iou_thres: float = 0.2,
+    min_aggregated_masks: int = 2,
+) -> AggregatedMasks:
+    """:func:`aggregate` over DEVICE-resident lift chunks.
+
+    The per-view membership (I x N, hundreds of MB at full scene scale) never
+    crosses the host link: valid rows gather on device, the IoU matrix comes
+    from the fused int8 MXU kernel / device matmul, and only the (I, I) IoU
+    (a few MB) plus the merged (C, N) masks download. Numerically identical
+    to the host path (tests/test_aggregation.py)."""
+    import jax.numpy as jnp
+
+    if not chunks:
+        return aggregate(np.zeros((0, n_points), bool), confidences, labels,
+                         iou_thres, min_aggregated_masks)
+
+    from beyondff_tpu.core import masks as mask_ops
+
+    # host-known row layout: chunk c contributes rows [base + i*m_pad,
+    # base + i*m_pad + sizes[i]) of the flattened (sum F*m_pad, N_pad) stack
+    sel: List[int] = []
+    base = 0
+    for dev, sizes in chunks:
+        f_pad, m_pad = int(dev.shape[0]), int(dev.shape[1])
+        for i, m_i in enumerate(sizes):
+            start = base + i * m_pad
+            sel.extend(range(start, start + m_i))
+        base += f_pad * m_pad
+    n_ins = len(sel)
+    if n_ins == 0:
+        return aggregate(np.zeros((0, n_points), bool), confidences, labels,
+                         iou_thres, min_aggregated_masks)
+    assert n_ins == len(labels) == len(np.asarray(confidences)), \
+        f"{n_ins} lifted rows vs {len(labels)} labels"
+
+    # bucket the row count so scenes of different sizes reuse compiled programs
+    pad_rows = -n_ins % 128
+    sel_arr = np.concatenate([np.asarray(sel, np.int32),
+                              np.zeros(pad_rows, np.int32)])
+    n_pad = int(chunks[0][0].shape[-1])
+    flat = jnp.concatenate([dev.reshape(-1, n_pad) for dev, _ in chunks])
+    mem = jnp.take(flat, jnp.asarray(sel_arr), axis=0)  # (I_b, N_pad) bool
+
+    from beyondff_tpu.kernels import dispatch
+
+    if dispatch.on_tpu():
+        from beyondff_tpu.kernels import mask_iou as kiou
+
+        iou = np.asarray(kiou.pad_and_iou(mem))[:n_ins, :n_ins]
+    else:
+        iou = np.asarray(mask_ops.pairwise_iou(mem))[:n_ins, :n_ins]
+
+    label_ids = _label_ids(labels)
+    same_label = label_ids[:, None] == label_ids[None, :]
+    with np.errstate(invalid="ignore"):
+        adj = same_label & (iou > iou_thres)
+    if n_ins > 256:
+        comp = np.asarray(mask_ops.connected_components(jnp.asarray(adj)))
+    else:
+        comp = mask_ops.connected_components_np(adj)
+
+    groups: List[List[int]] = []
+    for rep in np.unique(comp):
+        members = np.flatnonzero(comp == rep)
+        if members.size >= min_aggregated_masks:
+            groups.append(members.tolist())
+    if not groups:
+        return AggregatedMasks(ins=np.zeros((0, n_points), bool),
+                               conf=np.zeros((0,), np.float32), labels=[], groups=[])
+
+    onehot = np.zeros((len(groups), n_ins + pad_rows), bool)
+    for c, members in enumerate(groups):
+        onehot[c, members] = True
+    confs_pad = np.concatenate([np.asarray(confidences, np.float32),
+                                np.zeros(pad_rows, np.float32)])
+    merged, mean_conf = mask_ops.group_or_and_mean(
+        mem, jnp.asarray(confs_pad), jnp.asarray(onehot))
+    merged = np.asarray(merged)[:, :n_points]
+    return AggregatedMasks(
+        ins=merged.astype(bool),
+        conf=np.asarray(mean_conf, np.float32),
+        labels=[labels[g[0]] for g in groups],
+        groups=groups,
+    )
+
+
 def solve_overlapping(agg: AggregatedMasks) -> AggregatedMasks:
     """Give disputed points to the mask aggregated from more views.
 

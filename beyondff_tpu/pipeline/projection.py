@@ -82,10 +82,17 @@ def lift_scene_streamed(
     target_hw=None,
     depth_scale: float = 1000.0,
     need_viewed: bool = True,
+    device_membership: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, List[float], List[str], np.ndarray, np.ndarray]:
     """Streaming lift: consumes frames from an iterator (typically wrapped in
     a background prefetcher) and dispatches fixed-shape device chunks as they
-    fill, so host IO overlaps device compute."""
+    fill, so host IO overlaps device compute.
+
+    ``device_membership=True`` returns membership as a list of
+    ``(device_chunk (F, m_pad, N_pad) bool, row_sizes)`` pairs instead of one
+    host array — per-view masks then never cross the host link (a full scene's
+    membership is hundreds of MB; on a tunneled chip the download+reupload
+    around aggregation dominates the whole stage)."""
     import jax
 
     n = pcd.shape[0]
@@ -110,6 +117,7 @@ def lift_scene_streamed(
         }
 
     members: List[np.ndarray] = []
+    device_chunks: List[tuple] = []  # (device (F, m_pad, N_pad) bool, sizes)
     confs: List[float] = []
     labels: List[str] = []
     # membership downloads are deferred behind a small window so the next
@@ -119,6 +127,10 @@ def lift_scene_streamed(
     _PENDING_MAX = 3
 
     def _drain(limit: int) -> None:
+        if device_membership:
+            device_chunks.extend(pending)
+            pending.clear()
+            return
         while len(pending) > limit:
             dev, sizes = pending.pop(0)
             arr = np.asarray(dev)
@@ -137,7 +149,15 @@ def lift_scene_streamed(
 
     def chunk_depths(chunk: List[Dict], f_pad: int):
         """(f_pad, H, W) float32 device depths; raw uint16 frames upload at
-        native resolution and scale/resize on device (geometry.prepare_depth)."""
+        native resolution and scale/resize on device (geometry.prepare_depth).
+        Frames carrying pre-staged device buffers (``depth_dev``, uploaded
+        from the prefetch thread so transfers overlap compute) stack on
+        device; host buffers batch-upload as one array."""
+        if "depth_dev" in chunk[0]:
+            devs = [f["depth_dev"] for f in chunk]
+            if len(devs) < f_pad:
+                devs.extend([jnp.zeros_like(devs[0])] * (f_pad - len(devs)))
+            return geometry.prepare_depth(jnp.stack(devs), tuple(target_hw), depth_scale)
         if "depth_raw" in chunk[0]:
             h0, w0 = chunk[0]["depth_raw"].shape
             raw = np.zeros((f_pad, h0, w0), np.uint16)
@@ -293,7 +313,9 @@ def lift_scene_streamed(
                      else np.asarray(acc["m"], np.int64))
     viewed_counts = (np.zeros(n_pad, np.int64) if acc["v"] is None
                      else np.asarray(acc["v"], np.int64))
-    if members:
+    if device_membership:
+        membership = device_chunks
+    elif members:
         membership = np.concatenate(members)[:, :n]
     else:
         membership = np.zeros((0, n), bool)
@@ -342,12 +364,40 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
     need_viewed = (cfg.filtering.use_detected_ratio_threshold
                    and not cfg.filtering.use_occurrence_threshold)
 
+    dec = max(1, int(cfg.frames.depth_decimation))
+    cache_dir = None
+    if cfg.frames.depth_cache and cfg.paths.checkpoint_dir:
+        cache_dir = os.path.join(cfg.paths.checkpoint_dir, "depth_cache", scene_id)
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def _depth_raw(fid: str) -> np.ndarray:
+        if cache_dir is not None:
+            path = os.path.join(cache_dir, f"{fid}.d{dec}.npy")
+            if os.path.exists(path):
+                try:
+                    return np.load(path)
+                except (OSError, ValueError):
+                    pass  # truncated write; fall through to re-decode
+        raw = reader.depth_raw(fid)
+        # decimate before upload: the visibility test samples depth at
+        # projected points under an 0.08 m tolerance (see FramesConfig)
+        if dec > 1:
+            raw = raw[::dec, ::dec]
+        if cache_dir is not None:
+            tmp = f"{path}.tmp{os.getpid()}.npy"
+            np.save(tmp, raw)
+            os.replace(tmp, path)  # atomic: concurrent readers see old or new
+        return raw
+
     def load_frame(fid: str) -> Dict:
         f: Dict = {"frame_id": fid, "pose": reader.pose(fid)}
         rec = by_frame.get(fid)
         if need_viewed or rec is not None:
             if device_resize:
-                f["depth_raw"] = reader.depth_raw(fid)
+                # upload starts here, in the prefetch thread: the async
+                # dispatch overlaps the transfer with device compute (the
+                # main-thread batch upload left the device idle-waiting)
+                f["depth_dev"] = jnp.asarray(_depth_raw(fid))
             else:
                 f["depth"] = reader.depth(fid, size=size)
         if rec is not None:
@@ -363,25 +413,30 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
 
     with prof.span("lift", frames=len(frame_ids)):
         # frames stream through a background loader thread (utils/prefetch)
-        # while the device lifts the previous chunk
+        # while the device lifts the previous chunk; membership stays ON
+        # DEVICE through aggregation (a full scene's per-view masks are
+        # hundreds of MB — the round trip dominated the stage on a tunneled
+        # chip)
         from beyondff_tpu.utils.prefetch import prefetch_map
 
         frames_iter = prefetch_map(load_frame, frame_ids,
                                    depth=max(1, cfg.parallel.prefetch_depth) * FRAME_CHUNK)
-        membership, confs, labels, masked_counts, viewed_counts = lift_scene_streamed(
+        chunks, confs, labels, masked_counts, viewed_counts = lift_scene_streamed(
             pcd, cam_intr, frames_iter, set(by_frame), cfg.frames.depth_thresh,
             target_hw=(cfg.frames.height_2d, cfg.frames.width_2d),
             depth_scale=cfg.frames.depth_scale, need_viewed=need_viewed,
+            device_membership=True,
         )
 
     out_path = os.path.join(p.mask_3d_dir, class_name, f"{scene_id}.{ext}")
-    if membership.shape[0] == 0:
+    n_lifted = len(labels)
+    if n_lifted == 0:
         bio.save_stage_dict(out_path, np.zeros((0, pcd.shape[0]), bool), np.zeros(0, np.float32), [])
         return {"scene_id": scene_id, "instances": 0}
 
-    with prof.span("aggregate", instances=membership.shape[0]):
-        agg = aggregation.aggregate(
-            membership, confs, labels,
+    with prof.span("aggregate", instances=n_lifted):
+        agg = aggregation.aggregate_chunks(
+            chunks, pcd.shape[0], confs, labels,
             iou_thres=cfg.aggregation.iou_thres,
             min_aggregated_masks=cfg.aggregation.min_aggregated_masks,
         )

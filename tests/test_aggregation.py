@@ -103,3 +103,47 @@ def test_filter_masks_cascade(rng):
                            remove_small_masks=5, remove_filtered_masks=0.8)
     out2 = filtering.filter_masks(agg, masked_counts, np.ones(n), cfg2)
     assert out2.ins.shape[0] == 1 and out2.labels == ["a"]
+
+
+def test_aggregate_chunks_matches_host_path(rng):
+    """Device-chunk aggregation (membership never downloads) must reproduce
+    the host-array path exactly on the same lifted masks."""
+    import jax.numpy as jnp
+
+    from beyondff_tpu.core.aggregation import aggregate, aggregate_chunks
+
+    n = 500
+    n_pad = 512  # bucketed point padding, like the lift
+    labels_pool = ["clothes", "chair"]
+    chunks, all_masks, confs, labels = [], [], [], []
+    for _ in range(3):  # 3 chunks of 4 frames, ragged mask counts
+        f_pad, m_pad = 4, 4
+        dev = np.zeros((f_pad, m_pad, n_pad), bool)
+        sizes = []
+        for i in range(f_pad):
+            m_i = int(rng.integers(0, m_pad + 1))
+            sizes.append(m_i)
+            for j in range(m_i):
+                m = rng.random(n) < 0.3
+                dev[i, j, :n] = m
+                all_masks.append(m)
+                confs.append(float(rng.random()))
+                labels.append(labels_pool[int(rng.integers(0, 2))])
+        chunks.append((jnp.asarray(dev), sizes))
+    confs = np.asarray(confs, np.float32)
+
+    host = aggregate(np.asarray(all_masks).reshape(len(all_masks), n), confs, labels,
+                     iou_thres=0.2, min_aggregated_masks=2)
+    dev = aggregate_chunks(chunks, n, confs, labels,
+                           iou_thres=0.2, min_aggregated_masks=2)
+    assert dev.groups == host.groups
+    assert dev.labels == host.labels
+    np.testing.assert_array_equal(dev.ins, host.ins)
+    np.testing.assert_allclose(dev.conf, host.conf, rtol=1e-6)
+
+
+def test_aggregate_chunks_empty():
+    from beyondff_tpu.core.aggregation import aggregate_chunks
+
+    out = aggregate_chunks([], 100, np.zeros(0, np.float32), [])
+    assert out.empty and out.ins.shape == (0, 100)

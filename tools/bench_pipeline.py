@@ -114,7 +114,8 @@ def build_fullscale_scene(root: str, n_points: int, n_frames: int, rng) -> str:
             "checkpoint_dir": os.path.join(root, "checkpoints"),
             "results_dir": os.path.join(root, "eval_results"),
         },
-        "frames": {"downsample_ratio": 1},
+        "frames": {"downsample_ratio": 1,
+                    "depth_decimation": int(os.environ.get("BFF_DEPTH_DEC", "1"))},
     })
     path = os.path.join(root, "config.yaml")
     cfg.to_yaml(path)
