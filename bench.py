@@ -128,10 +128,10 @@ def pipeline_wall_clock(models, small):
     root = os.path.join("/tmp", f"bff_bench_scene_{'small' if small else 'full'}")
     make_scene(root, n_frames, width, height)
 
-    # batch 1 measured optimal on one v5e (ARCHITECTURE.md: the dominant ops
-    # don't amortize with batch, and an 8-frame GDINO batch at (800, 1200)
-    # exhausts HBM); multi-chip runs want frame_batch = device count
-    frame_batch = int(os.environ.get("BFF_BENCH_FRAME_BATCH", "1" if not small else "8"))
+    # batch 4 measured optimal on one v5e (composite f/s: 1 -> 3.04,
+    # 4 -> 3.73, 8 -> 3.53 — per-dispatch host/RPC overhead amortizes by 4);
+    # multi-chip runs want frame_batch = a device-count multiple
+    frame_batch = int(os.environ.get("BFF_BENCH_FRAME_BATCH", "4" if not small else "8"))
     cfg = Config.from_dict({
         "paths": {"scene_2d_dir": root},
         "frames": {"width_2d": width, "height_2d": height, "downsample_ratio": 1},

@@ -91,7 +91,10 @@ class DetectorConfig:
     bert_vocab_path: str = ""
     # compute
     dtype: str = "bfloat16"
-    frame_batch: int = 8  # frames jointly encoded per device step
+    # frames jointly encoded per device step. Swept on one v5e at full scale
+    # (pipeline composite f/s): 1 -> 3.04, 4 -> 3.73, 8 -> 3.53 — per-dispatch
+    # host/RPC overhead amortizes by 4 and HBM pressure wins past that
+    frame_batch: int = 4
     # single-upload path: each frame uploads ONCE (SAM-scaled uint8, in the
     # prefetch thread) and the detector input derives from it on device.
     # `false` restores the reference's exact per-model host resize chain
