@@ -116,6 +116,43 @@ def device_compute(models, iters):
     return 1 / per_frame
 
 
+def fast_variant_compute(iters, dtype):
+    """Secondary metric: the reference's fast detector path (YOLO-World +
+    EfficientSAM, ~7-8x faster than G-DINO per the paper Sec. 3.2;
+    tools/segmentation_2d_yolo_world.py). Device-compute f/s at fixed shapes,
+    reported to stderr only — the JSON headline stays the default path."""
+    import jax
+    import jax.numpy as jnp
+
+    from beyondff_tpu.models import efficientsam, yolo_world
+
+    rng = np.random.default_rng(0)
+
+    def sync(x):
+        leaves = jax.tree_util.tree_leaves(x)
+        float(jax.device_get(leaves[0].reshape(-1)[0].astype(jnp.float32)))
+
+    yw = yolo_world.YOLOWorld.create("l", dtype=dtype)
+    esam = efficientsam.EfficientSAM.create("vits", dtype=dtype)
+    h, w = yw.cfg.img_size
+    img = jnp.asarray(rng.integers(0, 255, (1, h, w, 3)), jnp.uint8)
+    txt = jnp.asarray(rng.normal(size=(2, yw.cfg.text_dim)), jnp.float32)
+    t_det = timed("yolo_world(l)",
+                  lambda: yw._forward(yw.params, img, txt), sync, iters)
+    s = esam.cfg.img_size
+    s_img = jnp.asarray(rng.normal(size=(1, s, s, 3)).astype(np.float32))
+    t_enc = timed("efficientsam(vits) encode",
+                  lambda: esam.encode_image(s_img), sync, iters)
+    emb0 = esam.encode_image(s_img)[0]
+    boxes = jnp.asarray(rng.uniform(0, s, (4, 4)).astype(np.float32))
+    t_dec = timed("efficientsam decode x4boxes(best-of-3)",
+                  lambda: esam.decode_boxes_best(emb0, boxes), sync, iters)
+    per_frame = t_det + t_enc + t_dec
+    log(f"fast-variant device-compute: {per_frame * 1000:.1f} ms/frame "
+        f"= {1 / per_frame:.2f} frames/s")
+    return 1 / per_frame
+
+
 def pipeline_wall_clock(models, small):
     """The honest number: process_scene wall-clock in hit/miss regimes."""
     from beyondff_tpu.config import Config
@@ -255,9 +292,13 @@ def main():
     }
 
     fps_device = device_compute(models, iters)
+    fps_fast = None
+    if not small and os.environ.get("BFF_BENCH_FAST_VARIANT", "1") != "0":
+        fps_fast = fast_variant_compute(iters, dtype)
     fps_pipeline = pipeline_wall_clock(models, small)
     log(f"summary: device-compute {fps_device:.2f} f/s, "
-        f"pipeline composite {fps_pipeline:.2f} f/s")
+        f"pipeline composite {fps_pipeline:.2f} f/s"
+        + (f", fast-variant device {fps_fast:.2f} f/s" if fps_fast else ""))
 
     print(json.dumps({
         "metric": "seg2d_pipeline_frames_per_sec",
