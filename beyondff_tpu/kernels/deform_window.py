@@ -91,6 +91,16 @@ def build_assignment(shapes: Tuple[Tuple[int, int], ...], level: int,
 
 
 @functools.lru_cache(maxsize=8)
+def _point_sum(spb: int, p: int):
+    """(spb/p, spb) one-hot: row q sums sample rows [q*p, (q+1)*p)."""
+    sq = spb // p
+    ps = np.zeros((sq, spb), np.float32)
+    for qrow in range(sq):
+        ps[qrow, qrow * p:(qrow + 1) * p] = 1.0
+    return ps
+
+
+@functools.lru_cache(maxsize=8)
 def _expand_reduce(win: int, hd: int):
     """E (win, win*hd): repeat each column weight across its hd lanes.
     R (win*hd, hd): sum the win strided hd-groups."""
@@ -111,17 +121,20 @@ def _chunk(sp: int) -> int:
     return sp  # tiny configs (tests): single chunk
 
 
-def _kernel(ry_ref, rx_ref, aw_ref, win_ref, e_ref, r_ref, out_ref):
+def _kernel(ry_ref, rx_ref, aw_ref, win_ref, e_ref, r_ref, ps_ref, out_ref):
     """One (tile, batch*head) program: all SP sample rows in row chunks.
 
     One-hot interpolation matrices are built TRANSPOSED — (w3, chunk) with
     samples on lanes — so coords stream as contiguous (1, SP) rows and the
     MXU contracts their leading dim (transpose_lhs), avoiding the
-    sublane-strided layouts that dominate wall-clock otherwise."""
+    sublane-strided layouts that dominate wall-clock otherwise. The final
+    one-hot matmul ``ps`` sums each query's P consecutive point rows, so the
+    output (and its HBM write) is (S, hd), not (S*P, hd)."""
     dtype = win_ref.dtype
     w3 = e_ref.shape[0]
     sp = ry_ref.shape[3]
     spb = _chunk(sp)
+    sq = ps_ref.shape[0]  # query rows per chunk after the P-sum
     win = win_ref[0, 0]
     iw = jax.lax.broadcasted_iota(jnp.int32, (w3, spb), 0)
     dn0 = (((0,), (0,)), ((), ()))  # contract leading dims
@@ -142,8 +155,10 @@ def _kernel(ry_ref, rx_ref, aw_ref, win_ref, e_ref, r_ref, out_ref):
                                  preferred_element_type=jnp.float32).astype(dtype)
         wxe = jax.lax.dot_general(wx_t, e_ref[:], dn0,
                                   preferred_element_type=jnp.float32).astype(dtype)
-        out = jnp.dot(m1 * wxe, r_ref[:], preferred_element_type=jnp.float32)
-        out_ref[0, 0, sl, :] = out.astype(out_ref.dtype)
+        out = jnp.dot(m1 * wxe, r_ref[:],
+                      preferred_element_type=jnp.float32).astype(dtype)
+        outq = jnp.dot(ps_ref[:], out, preferred_element_type=jnp.float32)
+        out_ref[0, 0, pl.ds(c * sq, sq), :] = outq.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("assign", "h", "w", "interpret"))
@@ -209,12 +224,14 @@ def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
     e_np, r_np = _expand_reduce(w3, hd)
     e = jnp.asarray(e_np, dtype)
     r = jnp.asarray(r_np, dtype)
+    spb = _chunk(sp)
+    ps = jnp.asarray(_point_sum(spb, p_pts), dtype)
 
     coord_spec = pl.BlockSpec((1, 1, 1, sp), lambda i, j: (i, j, 0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, b * heads, sp, hd), dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, b * heads, s, hd), dtype),
         grid=(n_tiles, b * heads),
         in_specs=[
             coord_spec, coord_spec, coord_spec,
@@ -224,14 +241,16 @@ def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w3 * hd, hd), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((spb // p_pts, spb), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, sp, hd), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, s, hd), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(ry, rx, paw, wins, e, r)
+    )(ry, rx, paw, wins, e, r, ps)
 
-    # ---- sum the P points, un-permute back to query order
-    out = out.reshape(n_tiles, b, heads, s, p_pts, hd).sum(4)
+    # ---- un-permute back to query order (P-sum happened in-kernel)
+    out = out.reshape(n_tiles, b, heads, s, hd)
     out = out.transpose(1, 0, 3, 2, 4).reshape(b, n_tiles * s, heads, hd)
     return out[:, jnp.asarray(assign.inv)]
 
