@@ -22,6 +22,7 @@ the same compiled decode program.
 from __future__ import annotations
 
 import os
+from functools import lru_cache as _lru_cache
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -31,6 +32,18 @@ from beyondff_tpu.core import rle
 from beyondff_tpu.pipeline import descriptors
 from beyondff_tpu.utils import io as bio
 from beyondff_tpu.utils.checkpoint import SceneCheckpoint
+
+
+@_lru_cache(maxsize=8)
+def _stack_jit(n: int):
+    """Jitted n-way stack: stacking per-frame device buffers with eager
+    jnp.stack dispatches ~2n ops over the (high-latency) device link —
+    measured 0.62 s per 4-frame batch on a tunneled v5e. One compiled
+    program makes it a single dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda *xs: jnp.stack(xs))
 
 
 def box_cxcywh_to_xyxy(boxes: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -368,7 +381,7 @@ class Segmentor2D:
             input_hw = buf[0][2]
             devs = [b[3] for b in buf]
             raw = self.detector.predict_batch_frames(
-                jnp.stack(devs), query, box_threshold=d.box_threshold,
+                _stack_jit(len(devs))(*devs), query, box_threshold=d.box_threshold,
                 text_threshold=d.text_threshold)
             filtered_all = self._detect_and_filter_batch(smalls, raw, query,
                                                          frame_hw=frame_hw)
@@ -378,7 +391,7 @@ class Segmentor2D:
                     kept.append((fid, small, filtered))
                     kept_devs.append(dev)
             if kept:
-                embs = self.sam.encode_frames(jnp.stack(kept_devs))
+                embs = self.sam.encode_frames(_stack_jit(len(kept_devs))(*kept_devs))
                 masks = self._decode_masks(embs, [k[2] for k in kept], input_hw, frame_hw)
                 emit(kept, masks)
             buf.clear()
