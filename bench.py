@@ -41,18 +41,26 @@ def log(msg):
 
 
 def timed(name, fn, sync, iters):
+    """Best of two measurement rounds: the shared/tunneled chip occasionally
+    degrades ~20x for minutes at a time (observed twice in one session);
+    min-of-rounds measures the machine, not the co-tenant."""
     import jax  # noqa: F401
 
     t0 = time.time()
     out = fn()
     sync(out)
     log(f"{name}: compile+first-run {time.time() - t0:.1f}s")
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn()
-    sync(out)
-    dt = (time.time() - t0) / iters
-    log(f"{name}: steady {dt * 1000:.1f} ms/iter")
+    rounds = []
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn()
+        sync(out)
+        rounds.append((time.time() - t0) / iters)
+    dt = min(rounds)
+    log(f"{name}: steady {dt * 1000:.1f} ms/iter"
+        + (f" (rounds {[round(r * 1000, 1) for r in rounds]})"
+           if max(rounds) > 1.5 * dt else ""))
     return dt
 
 
@@ -200,12 +208,18 @@ def pipeline_wall_clock(models, small):
         t0 = time.time()
         seg.process_scene("scene0000_00", "clothes")
         log(f"{label}: warmup pass {time.time() - t0:.1f}s")
-        t0 = time.time()
-        records = seg.process_scene("scene0000_00", "clothes")
-        dt = time.time() - t0
+        # best of two passes (see timed(): the shared chip can degrade
+        # transiently; min measures the machine)
+        best_dt, records = None, None
+        for _ in range(2):
+            t0 = time.time()
+            recs = seg.process_scene("scene0000_00", "clothes")
+            dt = time.time() - t0
+            if best_dt is None or dt < best_dt:
+                best_dt, records = dt, recs
         n_boxes = sum(len(r["confidences"]) for r in records)
-        fps = n_frames / dt
-        log(f"{label}: {n_frames} frames in {dt:.2f}s = {fps:.2f} frames/s "
+        fps = n_frames / best_dt
+        log(f"{label}: {n_frames} frames in {best_dt:.2f}s = {fps:.2f} frames/s "
             f"({len(records)} frames with boxes, {n_boxes} masks)")
         return fps
 
