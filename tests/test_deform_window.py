@@ -135,3 +135,39 @@ def test_ms_deform_attn_windowed_matches_exact(rng, monkeypatch):
         jnp.asarray(value), shapes, jnp.asarray(locs[:, :32]),
         jnp.asarray(aw[:, :32])))
     np.testing.assert_allclose(dec, ref, rtol=1e-5)
+
+
+def test_full_gdino_forward_windowed_matches_exact(rng, monkeypatch):
+    """Model-level integration: the full GDINO forward with the windowed
+    encoder kernel (interpret mode) vs the exact path, at a config whose L0
+    exceeds the matmul threshold so the kernel actually engages."""
+    import jax.numpy as jnp
+
+    from beyondff_tpu.models.gdino import GroundingDINO, model as gdino_model
+    from beyondff_tpu.models.gdino import bert as bert_mod, swin as swin_mod
+
+    cfg = gdino_model.GDINOConfig(
+        swin=swin_mod.PRESETS["test"], bert=bert_mod.PRESETS["test"],
+        hidden=32, heads=2, levels=3, enc_layers=1, dec_layers=1,
+        ffn_dim=64, num_queries=16, max_text_len=16,
+        image_size=(256, 384),  # L0 = 32x48 = 1536 > _MATMUL_LEVEL_MAX
+    )
+    g = GroundingDINO.create(cfg, seed=0)
+    gh, gw = cfg.image_size
+    img = jnp.asarray(rng.normal(size=(1, gh, gw, 3)), jnp.float32)
+    t = 6
+    ids = jnp.asarray(rng.integers(1, cfg.bert.vocab_size, (1, t)), jnp.int32)
+    sm = jnp.ones((1, t, t), bool)
+    pm = jnp.ones((1, t), bool)
+    pos = jnp.zeros((1, t), jnp.int32)
+
+    monkeypatch.setenv("BFF_DEFORM_WINDOWED", "0")
+    exact_logits, exact_boxes = g.module.apply(g.params, img, ids, sm, pm, pos)
+    monkeypatch.setenv("BFF_DEFORM_WINDOWED", "1")
+    win_logits, win_boxes = g.module.apply(g.params, img, ids, sm, pm, pos)
+    # random-init offsets are tiny (within the window radius), so the paths
+    # agree to float tolerance through the full network
+    np.testing.assert_allclose(np.asarray(win_boxes), np.asarray(exact_boxes),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(win_logits), np.asarray(exact_logits),
+                               atol=2e-2, rtol=2e-2)
