@@ -43,6 +43,32 @@ def prefetch(iterable: Iterable[T], depth: int = 2) -> Iterator[T]:
         yield item
 
 
-def prefetch_map(fn: Callable[[T], U], items: Iterable[T], depth: int = 2) -> Iterator[U]:
-    """``map`` with background prefetching of results."""
-    return prefetch((fn(x) for x in items), depth=depth)
+def prefetch_map(fn: Callable[[T], U], items: Iterable[T], depth: int = 2,
+                 workers: int = 1) -> Iterator[U]:
+    """``map`` with background prefetching of results, ORDER-PRESERVING.
+
+    ``workers > 1`` maps through a thread pool with at most ``depth`` items
+    in flight — on a one-core host this still overlaps stages whose work
+    releases the GIL (file decode vs device-upload RPCs), which a single
+    loader thread serializes."""
+    if workers <= 1:
+        return prefetch((fn(x) for x in items), depth=depth)
+
+    def gen() -> Iterator[U]:
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            pending: "collections.deque" = collections.deque()
+            try:
+                for x in items:
+                    pending.append(ex.submit(fn, x))
+                    if len(pending) >= max(depth, workers):
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+            finally:
+                for f in pending:
+                    f.cancel()
+
+    return gen()

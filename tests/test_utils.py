@@ -77,3 +77,31 @@ def test_sweep_checkpoint_round_trip(tmp_path):
     assert ck2.stage_done("clothes", "projection")
     assert not ck2.stage_done("clothes", "refinement")
     assert not ck2.stage_done("towel", "projection")
+
+
+def test_prefetch_map_workers_preserve_order():
+    import time
+
+    from beyondff_tpu.utils.prefetch import prefetch_map
+
+    def slow_sq(x):
+        time.sleep(0.001 * (7 - x % 7))  # deliberately out-of-order completion
+        return x * x
+
+    items = list(range(40))
+    assert list(prefetch_map(slow_sq, items, depth=8, workers=4)) == [x * x for x in items]
+    assert list(prefetch_map(slow_sq, items, depth=2, workers=1)) == [x * x for x in items]
+
+
+def test_prefetch_map_workers_propagate_errors():
+    import pytest
+
+    from beyondff_tpu.utils.prefetch import prefetch_map
+
+    def boom(x):
+        if x == 3:
+            raise ValueError("x3")
+        return x
+
+    with pytest.raises(ValueError):
+        list(prefetch_map(boom, range(10), depth=2, workers=3))
