@@ -315,7 +315,12 @@ class GDINOModule(nn.Module):
         ref_fc2 = nn.Dense(c.hidden, dtype=self.dtype, name="ref_point_fc2")
         ref = boxes
         for li in range(c.dec_layers):
-            pe = sine_position_embedding(ref, 2 * c.hidden).astype(self.dtype)
+            # official ordering: gen_sineembed_for_position emits
+            # (pos_y, pos_x, pos_w, pos_h) for (cx, cy, w, h) refs (the HF
+            # port's get_sine_pos_embed exchange_xy=True); pinned against the
+            # official function in tests/test_torch_parity.py
+            pe = sine_position_embedding(
+                ref[..., jnp.array([1, 0, 2, 3])], 2 * c.hidden).astype(self.dtype)
             query_pos = ref_fc2(nn.relu(ref_fc1(pe)))
             ref_input = ref[:, :, None, :].repeat(len(shapes), axis=2)
             tgt = DecoderLayer(c, dtype=self.dtype, name=f"dec{li}")(

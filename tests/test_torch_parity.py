@@ -117,3 +117,100 @@ def test_embedding_matches(rng):
     params = {"params": {"embedding": jnp.asarray(emb.weight.detach().numpy())}}
     out = nn.Embed(20, 8).apply(params, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=RTOL, atol=ATOL)
+
+
+def test_ms_deform_attn_matches_official_reference(rng):
+    """Core multi-scale deformable sampling vs the OFFICIAL architecture's
+    pure-torch reference (transformers GroundingDino / DeformableDetr
+    MultiScaleDeformableAttention: grid_sample bilinear, zeros padding,
+    align_corners=False) — the reference model's CUDA op semantics
+    (SURVEY.md §2.3), pinned full-function rather than per-op."""
+    pytest.importorskip("transformers")
+    from transformers.models.grounding_dino.modeling_grounding_dino import (
+        MultiScaleDeformableAttention,
+    )
+
+    from beyondff_tpu.models.gdino import deformable
+
+    shapes = [(12, 16), (6, 8), (3, 4)]
+    b, heads, hd, q, p = 2, 4, 8, 30, 3
+    s = sum(h * w for h, w in shapes)
+    value = rng.normal(size=(b, s, heads, hd)).astype(np.float32)
+    # locations span in-map, map-edge and out-of-map regions
+    locs = rng.uniform(-0.2, 1.2, (b, q, heads, len(shapes), p, 2)).astype(np.float32)
+    aw = rng.uniform(0, 1, (b, q, heads, len(shapes), p)).astype(np.float32)
+    aw /= aw.reshape(b, q, heads, -1).sum(-1)[:, :, :, None, None]
+
+    op = MultiScaleDeformableAttention()
+    shapes_t = torch.tensor(shapes, dtype=torch.long)
+    level_start = torch.cat(
+        [torch.zeros(1, dtype=torch.long),
+         torch.cumsum(shapes_t.prod(1), 0)[:-1]])
+    want = op(
+        torch.from_numpy(value), shapes_t, [tuple(sh) for sh in shapes],
+        level_start, torch.from_numpy(locs), torch.from_numpy(aw),
+        im2col_step=64,
+    ).numpy()
+
+    got = np.asarray(deformable.ms_deform_attn(
+        jnp.asarray(value), [tuple(sh) for sh in shapes],
+        jnp.asarray(locs), jnp.asarray(aw)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_sine_position_embedding_matches_official(rng):
+    """Sine PE vs the official get_sine_pos_embed (transformers GroundingDino;
+    the original repo's gen_sineembed_for_position): per-pair temperature
+    divisors, sin/cos interleave, and the (pos_y, pos_x, pos_w, pos_h)
+    coordinate ordering the decoder's ref_point_head expects."""
+    pytest.importorskip("transformers")
+    from transformers.models.grounding_dino.modeling_grounding_dino import (
+        get_sine_pos_embed,
+    )
+
+    from beyondff_tpu.models.gdino.model import sine_position_embedding
+
+    hidden = 64
+    # decoder case: (cx, cy, w, h) boxes -> 2*hidden PE
+    ref = rng.uniform(0, 1, (2, 5, 4)).astype(np.float32)
+    want = get_sine_pos_embed(torch.from_numpy(ref), num_pos_feats=2 * hidden // 4,
+                              exchange_xy=True).numpy()
+    got = np.asarray(sine_position_embedding(
+        jnp.asarray(ref)[..., jnp.array([1, 0, 2, 3])], 2 * hidden))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # encoder case: (y, x) grid coords fed directly (already official order);
+    # the HF helper requires a (B, Q, n) layout
+    yx = rng.uniform(0, 1, (1, 7, 2)).astype(np.float32)
+    want2 = get_sine_pos_embed(torch.from_numpy(yx[..., ::-1].copy()),
+                               num_pos_feats=hidden // 2, exchange_xy=True).numpy()
+    got2 = np.asarray(sine_position_embedding(jnp.asarray(yx), hidden))
+    np.testing.assert_allclose(got2, want2, atol=1e-5, rtol=1e-5)
+
+
+def test_subsentence_masks_match_official(rng):
+    """Per-phrase text self-attention mask + restarting position ids vs the
+    official generate_masks_with_special_tokens_and_transfer_map
+    (transformers GroundingDino; the reference dependency's exact helper)."""
+    pytest.importorskip("transformers")
+    from transformers.models.grounding_dino.modeling_grounding_dino import (
+        generate_masks_with_special_tokens_and_transfer_map,
+    )
+
+    from beyondff_tpu.models.gdino.bert import subsentence_masks
+
+    cls_id, sep_id, dot, qmark = 101, 102, 1012, 1029
+    # realistic caption tokenizations: [CLS] w w . w w w . [SEP] (+ padding-ish)
+    seqs = [
+        [cls_id, 2001, 2002, dot, 2003, 2004, 2005, dot, sep_id],
+        [cls_id, 3000, dot, 3001, 3002, qmark, 3003, dot, sep_id],
+        [cls_id, 4000, 4001, 4002, 4003, dot, sep_id, 0, 0],
+    ]
+    for seq in seqs:
+        ids = np.asarray([seq], np.int64)
+        want_mask, want_pos = generate_masks_with_special_tokens_and_transfer_map(
+            torch.from_numpy(ids))
+        got_mask, got_pos = subsentence_masks(ids, [dot, qmark], cls_id, sep_id)
+        np.testing.assert_array_equal(got_mask, want_mask.numpy(), err_msg=str(seq))
+        np.testing.assert_array_equal(got_pos, want_pos.numpy().astype(np.int32),
+                                      err_msg=str(seq))
