@@ -109,6 +109,15 @@ class BiAttention(nn.Module):
         head_dim = self.embed_dim // self.heads
         scale = head_dim ** -0.5
 
+        # PRE-norm, and the official block REBINDS the normed features as the
+        # residual base: out = LN(x) + gamma * delta (GroundingDINO
+        # BiAttentionBlock; the HF port's GroundingDinoFusionLayer does the
+        # same — pinned in tests/test_torch_parity.py). Applying the residual
+        # to the un-normed input computes a different function under real
+        # weights.
+        img = nn.LayerNorm(dtype=self.dtype, name="ln_v")(img)
+        txt = nn.LayerNorm(dtype=self.dtype, name="ln_l")(txt)
+
         q = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(img) * scale
         k = nn.Dense(self.embed_dim, dtype=self.dtype, name="l_proj")(txt)
         vv = nn.Dense(self.embed_dim, dtype=self.dtype, name="values_v_proj")(img)
@@ -118,9 +127,15 @@ class BiAttention(nn.Module):
             return t.reshape(*t.shape[:-1], self.heads, head_dim)
 
         logits = jnp.einsum("bihd,bthd->bhit", split(q), split(k))
-        # numeric clamping as in the original implementation
+        # numeric clamping as in the original implementation (the original
+        # skips the vision-side global max subtraction: stable_softmax_2d
+        # defaults False in the released config)
         logits = jnp.clip(logits, -50000, 50000)
         logits_t = logits.transpose(0, 1, 3, 2)  # (B, h, T, I)
+        # text side always subtracts the per-row max before clamping
+        logits_t = logits_t - jax.lax.stop_gradient(
+            jnp.max(logits_t, axis=-1, keepdims=True))
+        logits_t = jnp.clip(logits_t, -50000, 50000)
         if txt_mask is not None:
             logits = jnp.where(txt_mask[:, None, None, :], logits, jnp.finfo(logits.dtype).min)
         attn_i = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(self.dtype)
@@ -133,8 +148,9 @@ class BiAttention(nn.Module):
 
         gamma_v = self.param("gamma_v", nn.initializers.constant(1 / 8), (self.dim,))
         gamma_l = self.param("gamma_l", nn.initializers.constant(1 / 8), (self.text_dim,))
-        img = img + gamma_v.astype(self.dtype) * nn.LayerNorm(dtype=self.dtype, name="ln_v")(img_out)
-        txt = txt + gamma_l.astype(self.dtype) * nn.LayerNorm(dtype=self.dtype, name="ln_l")(txt_out)
+        # residual base = the pre-normed features (see note above)
+        img = img + gamma_v.astype(self.dtype) * img_out
+        txt = txt + gamma_l.astype(self.dtype) * txt_out
         return img, txt
 
 

@@ -214,3 +214,118 @@ def test_subsentence_masks_match_official(rng):
         np.testing.assert_array_equal(got_mask, want_mask.numpy(), err_msg=str(seq))
         np.testing.assert_array_equal(got_pos, want_pos.numpy().astype(np.int32),
                                       err_msg=str(seq))
+
+
+def test_sam_decomposed_rel_pos_matches_official(rng):
+    """SAM's decomposed relative-position bias (the thin-factor refactor that
+    let XLA fuse the bias into softmax, ARCHITECTURE.md) vs the official
+    add_decomposed_rel_pos (transformers SamVisionAttention)."""
+    pytest.importorskip("transformers")
+    from transformers.models.sam import modeling_sam as sam_hf
+
+    from beyondff_tpu.models.sam import _rel_pos_bias
+
+    h = w = 7
+    b, dim = 3, 16
+    q = rng.normal(size=(b, h * w, dim)).astype(np.float32)
+    rel_h = rng.normal(size=(2 * h - 1, dim)).astype(np.float32)
+    rel_w = rng.normal(size=(2 * w - 1, dim)).astype(np.float32)
+
+    shim = sam_hf.SamVisionAttention.__new__(sam_hf.SamVisionAttention)
+    want = shim.get_decomposed_rel_pos(
+        torch.from_numpy(q), torch.from_numpy(rel_h), torch.from_numpy(rel_w),
+        (h, w), (h, w),
+    )
+    want = want.reshape(b, h * w, h * w).numpy()
+    got = np.asarray(_rel_pos_bias((h, w), (h, w), jnp.asarray(rel_h),
+                                   jnp.asarray(rel_w), jnp.asarray(q)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_swin_rel_pos_index_and_shift_mask_match_official():
+    """Swin's relative-position-index table and shifted-window attention mask
+    vs the official construction (transformers SwinSelfAttention init /
+    SwinLayer.get_attn_mask)."""
+    pytest.importorskip("transformers")
+    from transformers import SwinConfig as HFSwinConfig
+    from transformers.models.swin import modeling_swin as swin_hf
+
+    from beyondff_tpu.models.gdino.swin import _rel_pos_index, _shift_mask
+
+    win = 4
+    cfg = HFSwinConfig(embed_dim=8, depths=[1], num_heads=[2], window_size=win,
+                       image_size=32, patch_size=4)
+    att = swin_hf.SwinSelfAttention(cfg, dim=8, num_heads=2, window_size=win)
+    np.testing.assert_array_equal(
+        _rel_pos_index(win), att.relative_position_index.numpy())
+
+    layer = swin_hf.SwinLayer(cfg, dim=8, input_resolution=(12, 16),
+                              num_heads=2, shift_size=win // 2)
+    want = layer.get_attn_mask(12, 16, torch.float32, "cpu").numpy()
+    got = np.asarray(_shift_mask(12, 16, win, win // 2))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fusion_layer_matches_official(rng):
+    """Image<->text fusion block vs the official GroundingDinoFusionLayer,
+    weights translated — pins the pre-norm placement, the NORMED residual
+    base (out = LN(x) + gamma*delta, the BiAttentionBlock rebinding quirk),
+    masking, and the attention math."""
+    pytest.importorskip("transformers")
+    from transformers import GroundingDinoConfig
+    from transformers.models.grounding_dino.modeling_grounding_dino import (
+        GroundingDinoFusionLayer,
+    )
+
+    from beyondff_tpu.models.gdino.model import BiAttention
+
+    d, heads = 32, 2
+    cfg = GroundingDinoConfig(d_model=d, encoder_ffn_dim=2 * d,
+                              encoder_attention_heads=2 * heads)
+    torch.manual_seed(0)
+    layer = GroundingDinoFusionLayer(cfg).eval()
+    # give the projections/gammas non-degenerate values
+    with torch.no_grad():
+        for p in layer.parameters():
+            p.copy_(torch.from_numpy(
+                rng.normal(0, 0.2, p.shape).astype(np.float32)))
+
+    def lin(mod):
+        return {"kernel": jnp.asarray(mod.weight.detach().numpy().T),
+                "bias": jnp.asarray(mod.bias.detach().numpy())}
+
+    def ln(mod):
+        return {"scale": jnp.asarray(mod.weight.detach().numpy()),
+                "bias": jnp.asarray(mod.bias.detach().numpy())}
+
+    params = {"params": {
+        "ln_v": ln(layer.layer_norm_vision),
+        "ln_l": ln(layer.layer_norm_text),
+        "v_proj": lin(layer.attn.vision_proj),
+        "l_proj": lin(layer.attn.text_proj),
+        "values_v_proj": lin(layer.attn.values_vision_proj),
+        "values_l_proj": lin(layer.attn.values_text_proj),
+        "out_v_proj": lin(layer.attn.out_vision_proj),
+        "out_l_proj": lin(layer.attn.out_text_proj),
+        "gamma_v": jnp.asarray(layer.vision_param.detach().numpy()),
+        "gamma_l": jnp.asarray(layer.text_param.detach().numpy()),
+    }}
+
+    b, n_img, n_txt = 2, 12, 7
+    img = rng.normal(size=(b, n_img, d)).astype(np.float32)
+    txt = rng.normal(size=(b, n_txt, d)).astype(np.float32)
+    pad = np.ones((b, n_txt), bool)
+    pad[1, 5:] = False  # padded tail on one batch row
+
+    (want_v, _), (want_t, _) = layer(
+        torch.from_numpy(img), torch.from_numpy(txt),
+        attention_mask_vision=None,
+        attention_mask_text=torch.from_numpy(~pad),  # HF: True = padding
+    )
+    mod = BiAttention(dim=d, text_dim=d, embed_dim=d, heads=heads)
+    got_v, got_t = mod.apply(params, jnp.asarray(img), jnp.asarray(txt),
+                             jnp.asarray(pad))  # ours: True = real token
+    np.testing.assert_allclose(np.asarray(got_v), want_v.detach().numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_t), want_t.detach().numpy(),
+                               atol=1e-4, rtol=1e-4)
