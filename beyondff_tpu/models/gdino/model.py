@@ -159,16 +159,26 @@ class EnhancerLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, img, pos, txt, ref_points, shapes, txt_mask):
+    def __call__(self, img, pos, txt, ref_points, shapes, txt_mask,
+                 text_self_mask=None, pos_text=None):
         """``pos`` joins queries/keys only (DETR convention), never the
-        residual stream."""
+        residual stream. ``text_self_mask`` (B, T, T) restricts the text
+        self-attention to each token's own phrase and ``pos_text`` (the sine
+        embedding of the restarting position ids) joins its queries/keys —
+        both as in the official encoder layer (GroundingDinoEncoderLayer
+        .get_text_position_embeddings / GroundingDinoTextEnhancerLayer)."""
         c = self.cfg
         # 1. image <-> text fusion (on raw features)
         img, txt = BiAttention(c.hidden, c.hidden, c.hidden, c.heads // 2,
                                dtype=self.dtype, name="fusion")(img, txt, txt_mask)
-        # 2. text self-attention + FFN
+        # 2. text self-attention (phrase-masked, sine-pos on q/k) + FFN
+        if text_self_mask is not None:
+            t_mask = text_self_mask[:, None, :, :]
+        else:
+            t_mask = txt_mask[:, None, None, :] if txt_mask is not None else None
+        tq = txt + pos_text.astype(self.dtype) if pos_text is not None else txt
         t = Attention(c.heads, dtype=self.dtype, name="text_attn")(
-            txt, mask=txt_mask[:, None, None, :] if txt_mask is not None else None)
+            tq, kv=tq, v=txt, mask=t_mask)
         txt = nn.LayerNorm(dtype=self.dtype, name="text_ln1")(txt + t)
         t = nn.Dense(1024, dtype=self.dtype, name="text_fc1")(txt)
         t = nn.relu(t)
@@ -292,9 +302,15 @@ class GDINOModule(nn.Module):
                                    (b, centers.shape[0], len(shapes), 2))
 
         # ---------------- feature enhancer
+        # sine PE of the restarting per-phrase position ids joins the text
+        # self-attention queries/keys (official: get_sine_pos_embed of
+        # text_position_ids, exchange_xy=False)
+        pos_text = sine_position_embedding(
+            position_ids[..., None].astype(jnp.float32), c.hidden)
         for li in range(c.enc_layers):
             memory, txt = EnhancerLayer(c, dtype=self.dtype, name=f"enc{li}")(
-                memory, pos, txt, ref_enc, shapes, text_pad_mask)
+                memory, pos, txt, ref_enc, shapes, text_pad_mask,
+                text_self_mask=text_self_mask, pos_text=pos_text)
 
         # ---------------- language-guided query selection
         enc_out = nn.Dense(c.hidden, dtype=self.dtype, name="enc_output")(memory)
