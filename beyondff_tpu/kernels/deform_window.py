@@ -45,12 +45,13 @@ TILE = 16  # target-level cells per tile side; window = 3*TILE, radius = TILE-1
 class TileAssign:
     """Static bucketing of the all-level query raster into target-level tiles."""
 
-    def __init__(self, idx, valid, inv, nty, ntx, s_pad):
+    def __init__(self, idx, valid, inv, nty, ntx, s_pad, tile):
         self.idx = idx          # (tiles, S) query index per slot
         self.valid = valid      # (tiles, S) slot is a real query
         self.inv = inv          # (Q,) flat (tile*S + slot) per query
         self.nty, self.ntx = nty, ntx
         self.s_pad = s_pad
+        self.tile = tile        # T: target-level cells per tile side
 
 
 @functools.lru_cache(maxsize=32)
@@ -87,7 +88,7 @@ def build_assignment(shapes: Tuple[Tuple[int, int], ...], level: int,
         off += c
     inv = np.zeros(q, np.int64)
     inv[idx[valid]] = np.arange(n_tiles * s_pad).reshape(n_tiles, s_pad)[valid]
-    return TileAssign(idx, valid, inv, nty, ntx, s_pad)
+    return TileAssign(idx, valid, inv, nty, ntx, s_pad, tile)
 
 
 @functools.lru_cache(maxsize=8)
@@ -175,7 +176,7 @@ def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
     b, q, heads, p_pts = gx.shape
     hd = v.shape[-1]
     dtype = v.dtype
-    t = _infer_tile(assign, h, w)
+    t = assign.tile
     w3 = 3 * t
     pad = t
     n_tiles = assign.nty * assign.ntx
@@ -253,12 +254,3 @@ def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
     out = out.reshape(n_tiles, b, heads, s, hd)
     out = out.transpose(1, 0, 3, 2, 4).reshape(b, n_tiles * s, heads, hd)
     return out[:, jnp.asarray(assign.inv)]
-
-
-def _infer_tile(assign: TileAssign, h: int, w: int) -> int:
-    """Recover T from the assignment grid (nty = ceil(h / T))."""
-    for t in (TILE, 8, 4, 2):
-        if -(-h // t) == assign.nty and -(-w // t) == assign.ntx:
-            return t
-    raise ValueError(f"assignment grid {assign.nty}x{assign.ntx} does not "
-                     f"match level ({h}, {w})")

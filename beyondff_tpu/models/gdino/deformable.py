@@ -66,7 +66,9 @@ def _use_windowed(windowed: bool) -> bool:
 
     env = os.environ.get("BFF_DEFORM_WINDOWED")
     if env is not None:
-        return env != "0"
+        # the env var only gates callers that requested windowing — it never
+        # force-enables the kernel for non-raster queries (decoder layers)
+        return windowed and env != "0"
     if not windowed:
         return False
     from beyondff_tpu.kernels.dispatch import on_tpu
