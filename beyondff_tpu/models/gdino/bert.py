@@ -53,12 +53,12 @@ class BertLayer(nn.Module):
         w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(self.dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", w, split(v)).reshape(x.shape)
         attn = nn.Dense(c.hidden, dtype=self.dtype, name="attn_out")(attn)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + attn)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="ln1")(x + attn)
 
         h = nn.Dense(c.intermediate, dtype=self.dtype, name="fc1")(x)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(c.hidden, dtype=self.dtype, name="fc2")(h)
-        return nn.LayerNorm(dtype=self.dtype, name="ln2")(x + h)
+        return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="ln2")(x + h)
 
 
 class BertEncoder(nn.Module):
@@ -82,7 +82,7 @@ class BertEncoder(nn.Module):
             x = x + pos[position_ids].astype(self.dtype)
         tok = self.param("type_emb", nn.initializers.normal(0.02), (c.type_vocab, c.hidden))
         x = x + tok[0].astype(self.dtype)
-        x = nn.LayerNorm(dtype=self.dtype, name="emb_ln")(x)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="emb_ln")(x)
         for i in range(c.layers):
             x = BertLayer(c, dtype=self.dtype, name=f"layer{i}")(x, attn_mask)
         return x

@@ -55,6 +55,10 @@ class GDINOConfig:
     # for level tiling; the reference's (800, 1200)-sized default padded 12%
     # more tokens than the frames ever carry)
     image_size: Tuple[int, int] = (800, 1072)
+    # vision-level position-embedding temperature (the official backbone PE,
+    # PositionEmbeddingSineHW pe_temperatureH/W=20 in the released configs;
+    # HF GroundingDinoSinePositionEmbedding positional_embedding_temperature)
+    pe_temperature: float = 20.0
     # tile-windowed MXU deformable sampling in the encoder (TPU; exact-path
     # fallback via BFF_DEFORM_WINDOWED=0 — see kernels/deform_window.py)
     enc_windowed_deform: bool = True
@@ -115,8 +119,8 @@ class BiAttention(nn.Module):
         # same — pinned in tests/test_torch_parity.py). Applying the residual
         # to the un-normed input computes a different function under real
         # weights.
-        img = nn.LayerNorm(dtype=self.dtype, name="ln_v")(img)
-        txt = nn.LayerNorm(dtype=self.dtype, name="ln_l")(txt)
+        img = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_v")(img)
+        txt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_l")(txt)
 
         q = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(img) * scale
         k = nn.Dense(self.embed_dim, dtype=self.dtype, name="l_proj")(txt)
@@ -168,31 +172,38 @@ class EnhancerLayer(nn.Module):
         both as in the official encoder layer (GroundingDinoEncoderLayer
         .get_text_position_embeddings / GroundingDinoTextEnhancerLayer)."""
         c = self.cfg
-        # 1. image <-> text fusion (on raw features)
-        img, txt = BiAttention(c.hidden, c.hidden, c.hidden, c.heads // 2,
+        # 1. image <-> text fusion (on raw features). The official
+        # BiAttentionBlock projects into embed_dim = dim_feedforward//2
+        # (1024 for the released SwinB/T configs) with nhead//2 heads — NOT
+        # d_model (HF GroundingDinoBiMultiHeadAttention: embed_dim =
+        # encoder_ffn_dim // 2; original build_transformer).
+        img, txt = BiAttention(c.hidden, c.hidden, c.ffn_dim // 2, c.heads // 2,
                                dtype=self.dtype, name="fusion")(img, txt, txt_mask)
-        # 2. text self-attention (phrase-masked, sine-pos on q/k) + FFN
+        # 2. text self-attention (phrase-masked, sine-pos on q/k, nhead//2
+        # heads and dim_feedforward//2 FFN — the official text enhancer,
+        # GroundingDinoTextEnhancerLayer / original TransformerEncoderLayer
+        # (d_model, nhead//2, dim_feedforward//2))
         if text_self_mask is not None:
             t_mask = text_self_mask[:, None, :, :]
         else:
             t_mask = txt_mask[:, None, None, :] if txt_mask is not None else None
         tq = txt + pos_text.astype(self.dtype) if pos_text is not None else txt
-        t = Attention(c.heads, dtype=self.dtype, name="text_attn")(
+        t = Attention(c.heads // 2, dtype=self.dtype, name="text_attn")(
             tq, kv=tq, v=txt, mask=t_mask)
-        txt = nn.LayerNorm(dtype=self.dtype, name="text_ln1")(txt + t)
-        t = nn.Dense(1024, dtype=self.dtype, name="text_fc1")(txt)
+        txt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="text_ln1")(txt + t)
+        t = nn.Dense(c.ffn_dim // 2, dtype=self.dtype, name="text_fc1")(txt)
         t = nn.relu(t)
         t = nn.Dense(c.hidden, dtype=self.dtype, name="text_fc2")(t)
-        txt = nn.LayerNorm(dtype=self.dtype, name="text_ln2")(txt + t)
+        txt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="text_ln2")(txt + t)
         # 3. deformable image self-attention + FFN (query = src + pos, value = src)
         i = MSDeformAttn(c.hidden, c.heads, c.levels, c.enc_points,
                          dtype=self.dtype, windowed=c.enc_windowed_deform,
                          name="deform")(img + pos, ref_points, img, shapes)
-        img = nn.LayerNorm(dtype=self.dtype, name="img_ln1")(img + i)
+        img = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="img_ln1")(img + i)
         i = nn.Dense(c.ffn_dim, dtype=self.dtype, name="img_fc1")(img)
         i = nn.relu(i)
         i = nn.Dense(c.hidden, dtype=self.dtype, name="img_fc2")(i)
-        img = nn.LayerNorm(dtype=self.dtype, name="img_ln2")(img + i)
+        img = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="img_ln2")(img + i)
         return img, txt
 
 
@@ -206,21 +217,21 @@ class DecoderLayer(nn.Module):
         # 1. self attention among queries (pos on q and k, not v)
         q = tgt + query_pos
         s = Attention(c.heads, dtype=self.dtype, name="self_attn")(q, kv=q, v=tgt)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="ln1")(tgt + s)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(tgt + s)
         # 2. cross attention to text
         t = Attention(c.heads, dtype=self.dtype, name="text_cross")(
             tgt + query_pos, kv=txt,
             mask=txt_mask[:, None, None, :] if txt_mask is not None else None)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="ln_text")(tgt + t)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_text")(tgt + t)
         # 3. deformable cross attention to image memory
         d = MSDeformAttn(c.hidden, c.heads, c.levels, c.dec_points,
                          dtype=self.dtype, name="deform")(tgt + query_pos, ref_points, memory, shapes)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="ln2")(tgt + d)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(tgt + d)
         # 4. FFN
         f = nn.Dense(c.ffn_dim, dtype=self.dtype, name="fc1")(tgt)
         f = nn.relu(f)
         f = nn.Dense(c.hidden, dtype=self.dtype, name="fc2")(f)
-        return nn.LayerNorm(dtype=self.dtype, name="ln3")(tgt + f)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln3")(tgt + f)
 
 
 class BoxHead(nn.Module):
@@ -264,16 +275,16 @@ class GDINOModule(nn.Module):
         srcs, shapes = [], []
         for li, (f, hw) in enumerate(feats):
             x = nn.Conv(c.hidden, (1, 1), dtype=self.dtype, name=f"input_proj{li}")(f)
-            x = nn.GroupNorm(32 if c.hidden % 32 == 0 else 4, dtype=self.dtype,
-                             name=f"input_gn{li}")(x)
+            x = nn.GroupNorm(32 if c.hidden % 32 == 0 else 4, epsilon=1e-5,
+                             dtype=self.dtype, name=f"input_gn{li}")(x)
             srcs.append(x.reshape(x.shape[0], -1, c.hidden))
             shapes.append(hw)
         # extra level: stride-2 conv on the last backbone map
         last = feats[-1][0]
         x = nn.Conv(c.hidden, (3, 3), (2, 2), padding=1, dtype=self.dtype,
                     name=f"input_proj{len(feats)}")(last)
-        x = nn.GroupNorm(32 if c.hidden % 32 == 0 else 4, dtype=self.dtype,
-                         name=f"input_gn{len(feats)}")(x)
+        x = nn.GroupNorm(32 if c.hidden % 32 == 0 else 4, epsilon=1e-5,
+                         dtype=self.dtype, name=f"input_gn{len(feats)}")(x)
         shapes.append((x.shape[1], x.shape[2]))
         srcs.append(x.reshape(x.shape[0], -1, c.hidden))
 
@@ -282,23 +293,29 @@ class GDINOModule(nn.Module):
                                  (len(srcs), c.hidden))
         pos_parts = []
         for li, (h, w) in enumerate(shapes):
-            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
-            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            # the official backbone PE (PositionEmbeddingSineHW / HF
+            # GroundingDinoSinePositionEmbedding): cumsum normalization
+            # (i+1)/(H+1e-6) and temperature 20 — NOT the 10000-temperature
+            # (i+0.5)/H grid the enhancer/decoder sine helpers use
+            ys = (jnp.arange(h, dtype=jnp.float32) + 1.0) / (h + 1e-6)
+            xs = (jnp.arange(w, dtype=jnp.float32) + 1.0) / (w + 1e-6)
             grid = jnp.stack(jnp.meshgrid(ys, xs, indexing="ij"), axis=-1).reshape(-1, 2)
-            pe = sine_position_embedding(grid, c.hidden)
+            pe = sine_position_embedding(grid, c.hidden, temperature=c.pe_temperature)
             pos_parts.append(pe + level_embed[li])
         pos = jnp.concatenate(pos_parts, axis=0)[None].astype(self.dtype)
         memory = jnp.concatenate(srcs, axis=1)
 
         # per-token reference points: own center replicated across levels
+        # (static — built in numpy so the proposal validity mask below is a
+        # compile-time constant)
         centers = []
         for h, w in shapes:
-            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
-            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-            g = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
+            ys = (np.arange(h, dtype=np.float32) + 0.5) / h
+            xs = (np.arange(w, dtype=np.float32) + 0.5) / w
+            g = np.stack(np.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
             centers.append(g)
-        centers = jnp.concatenate(centers, axis=0)
-        ref_enc = jnp.broadcast_to(centers[None, :, None, :],
+        centers = np.concatenate(centers, axis=0)
+        ref_enc = jnp.broadcast_to(jnp.asarray(centers)[None, :, None, :],
                                    (b, centers.shape[0], len(shapes), 2))
 
         # ---------------- feature enhancer
@@ -313,8 +330,27 @@ class GDINOModule(nn.Module):
                 text_self_mask=text_self_mask, pos_text=pos_text)
 
         # ---------------- language-guided query selection
-        enc_out = nn.Dense(c.hidden, dtype=self.dtype, name="enc_output")(memory)
-        enc_out = nn.LayerNorm(dtype=self.dtype, name="enc_output_ln")(enc_out)
+        # per-token grid proposals: own center + level-scaled wh (0.05 * 2^lvl,
+        # the deformable-DETR two-stage proposal convention). The official
+        # gen_encoder_output_proposals additionally marks proposals with any
+        # coordinate outside (0.01, 0.99) invalid: their memory is zeroed
+        # before enc_output and their proposal logits are +inf (boxes
+        # saturate to 1) — matters for edge cells of the large levels at
+        # real image sizes.
+        whs = np.concatenate(
+            [np.full((h * w, 2), 0.05 * (2.0 ** li), np.float32)
+             for li, (h, w) in enumerate(shapes)], axis=0)
+        proposals = np.concatenate([np.asarray(centers), whs], axis=-1)
+        valid = ((proposals > 0.01) & (proposals < 0.99)).all(-1)  # static
+        anchor_logits = np.where(
+            valid[:, None],
+            np.log(np.clip(proposals, 1e-9, None)
+                   / np.clip(1 - proposals, 1e-9, None)),
+            np.inf).astype(np.float32)
+
+        masked_memory = jnp.where(jnp.asarray(valid)[None, :, None], memory, 0.0)
+        enc_out = nn.Dense(c.hidden, dtype=self.dtype, name="enc_output")(masked_memory)
+        enc_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="enc_output_ln")(enc_out)
         sim = jnp.einsum("bic,btc->bit", enc_out, txt)
         sim = jnp.where(text_pad_mask[:, None, :], sim, -jnp.inf)
         scores = jnp.max(sim, axis=-1)  # (B, I)
@@ -325,16 +361,10 @@ class GDINOModule(nn.Module):
 
         sel = jnp.take_along_axis(enc_out, topk[..., None], axis=1)
         enc_box_head = BoxHead(c.hidden, dtype=self.dtype, name="enc_bbox_head")
-        # per-token grid proposals: own center + level-scaled wh (0.05 * 2^lvl,
-        # the deformable-DETR two-stage proposal convention)
-        whs = jnp.concatenate(
-            [jnp.full((h * w, 2), 0.05 * (2.0 ** li), jnp.float32)
-             for li, (h, w) in enumerate(shapes)], axis=0)
-        proposals = jnp.concatenate([centers, whs], axis=-1)
         anchors = jnp.take_along_axis(
-            jnp.broadcast_to(proposals[None], (b, *proposals.shape)),
+            jnp.broadcast_to(jnp.asarray(anchor_logits)[None], (b, *anchor_logits.shape)),
             topk[..., None], axis=1)
-        boxes = jax.nn.sigmoid(enc_box_head(sel) + _inverse_sigmoid(anchors))
+        boxes = jax.nn.sigmoid(enc_box_head(sel) + anchors)
 
         tgt_embed = self.param("tgt_embed", nn.initializers.normal(1.0),
                                (c.num_queries, c.hidden))
@@ -342,7 +372,7 @@ class GDINOModule(nn.Module):
 
         # ---------------- cross-modality decoder with box refinement
         box_head = BoxHead(c.hidden, dtype=self.dtype, name="bbox_head")  # shared
-        dec_norm = nn.LayerNorm(dtype=self.dtype, name="dec_norm")  # shared
+        dec_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="dec_norm")  # shared
         ref_fc1 = nn.Dense(c.hidden, dtype=self.dtype, name="ref_point_fc1")  # shared
         ref_fc2 = nn.Dense(c.hidden, dtype=self.dtype, name="ref_point_fc2")
         ref = boxes
@@ -357,12 +387,21 @@ class GDINOModule(nn.Module):
             ref_input = ref[:, :, None, :].repeat(len(shapes), axis=2)
             tgt = DecoderLayer(c, dtype=self.dtype, name=f"dec{li}")(
                 tgt, query_pos, memory, txt, ref_input, shapes, text_pad_mask)
-            ref = jax.nn.sigmoid(box_head(dec_norm(tgt)) + _inverse_sigmoid(ref))
+            ref_in = ref
+            # the official in-decoder refinement chain applies bbox_embed to
+            # the UN-normed layer output (original TransformerDecoder /
+            # HF GroundingDinoDecoder); decoder.norm touches only the heads
+            ref = jax.nn.sigmoid(box_head(tgt) + _inverse_sigmoid(ref))
 
+        # output heads read the NORMED last hidden state; boxes re-derive
+        # from the reference that ENTERED the last layer (official
+        # ForObjectDetection: bbox_embed(LN(hs_last)) + logit(ref_in))
+        normed = dec_norm(tgt)
+        out_boxes = jax.nn.sigmoid(box_head(normed) + _inverse_sigmoid(ref_in))
         # contrastive classification against text tokens
-        logits = jnp.einsum("bqc,btc->bqt", dec_norm(tgt), txt)
+        logits = jnp.einsum("bqc,btc->bqt", normed, txt)
         logits = jnp.where(text_pad_mask[:, None, :], logits, jnp.finfo(jnp.float32).min)
-        return logits, ref
+        return logits, out_boxes
 
 
 class GroundingDINO:

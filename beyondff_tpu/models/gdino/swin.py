@@ -90,7 +90,7 @@ class SwinBlock(nn.Module):
         shift = self.shift if win < min(h, w) else 0
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x).reshape(b, h, w, c)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x).reshape(b, h, w, c)
         pad_r = (-w) % win
         pad_b = (-h) % win
         if pad_r or pad_b:
@@ -113,9 +113,9 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = x[:, :h, :w].reshape(b, l, c)
         x = shortcut + x
-        hmid = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        hmid = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x)
         hmid = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(hmid)
-        hmid = nn.gelu(hmid)
+        hmid = nn.gelu(hmid, approximate=False)  # exact erf GELU (torch default)
         hmid = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(hmid)
         return x + hmid
 
@@ -148,7 +148,7 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1
         )
         x = x.reshape(b, -1, 4 * c)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * c, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
@@ -162,7 +162,7 @@ class SwinBackbone(nn.Module):
         x = nn.Conv(c.embed_dim, (c.patch_size, c.patch_size), (c.patch_size, c.patch_size),
                     padding="VALID", dtype=self.dtype, name="patch_embed")(images)
         b, h, w, _ = x.shape
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x.reshape(b, h * w, -1))
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x.reshape(b, h * w, -1))
 
         outs = []
         dim = c.embed_dim
@@ -173,7 +173,7 @@ class SwinBackbone(nn.Module):
                               mlp_ratio=c.mlp_ratio, dtype=self.dtype,
                               name=f"stage{si}_block{bi}")(x, (h, w))
             if si in c.out_indices:
-                y = nn.LayerNorm(dtype=self.dtype, name=f"out_norm{si}")(x)
+                y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{si}")(x)
                 outs.append((y.reshape(b, h, w, dim), (h, w)))
             if si < len(c.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype, name=f"merge{si}")(x, (h, w))

@@ -28,6 +28,12 @@ import numpy as np
 
 from beyondff_tpu.models.layers import MLP, window_partition, window_unpartition
 
+
+def _gelu_exact(x):
+    """Exact (erf) GELU — torch ``nn.GELU`` default; flax ``nn.gelu`` defaults
+    to the tanh approximation, which deviates ~1e-3 per block."""
+    return nn.gelu(x, approximate=False)
+
 PIXEL_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
 PIXEL_STD = np.array([58.395, 57.12, 57.375], np.float32)
 
@@ -190,7 +196,8 @@ class ViTBlock(nn.Module):
             x = window_unpartition(x, self.window_size, padded, (h0, w0))
         x = shortcut + x
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
-        return x + MLP(x.shape[-1] * 4, dtype=self.dtype, name="mlp")(h)
+        return x + MLP(x.shape[-1] * 4, activation=_gelu_exact, dtype=self.dtype,
+                       name="mlp")(h)
 
 
 class ImageEncoder(nn.Module):
@@ -289,7 +296,9 @@ class TwoWayBlock(nn.Module):
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
         if self.skip_first_layer_pe:
-            queries = queries + DecoderAttention(self.num_heads, dtype=self.dtype, name="self_attn")(
+            # the official block REPLACES queries here (no residual add) —
+            # segment_anything TwoWayAttentionBlock / HF SamTwoWayAttentionBlock
+            queries = DecoderAttention(self.num_heads, dtype=self.dtype, name="self_attn")(
                 queries, queries, queries)
         else:
             q = queries + query_pe
@@ -355,9 +364,9 @@ class MaskDecoder(nn.Module):
         img = k.reshape(b, g, g, d)
         img = nn.ConvTranspose(d // 4, (2, 2), (2, 2), transpose_kernel=True, dtype=self.dtype, name="up1")(img)
         img = nn.LayerNorm(dtype=self.dtype, name="up_ln")(img)
-        img = nn.gelu(img)
+        img = _gelu_exact(img)
         img = nn.ConvTranspose(d // 8, (2, 2), (2, 2), transpose_kernel=True, dtype=self.dtype, name="up2")(img)
-        img = nn.gelu(img)  # (B, 4g, 4g, d/8)
+        img = _gelu_exact(img)  # (B, 4g, 4g, d/8)
 
         hyper = []
         for m in range(n_masks):
