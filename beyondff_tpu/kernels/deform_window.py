@@ -21,8 +21,16 @@ The only VPU work is building the two one-hot interpolation matrices.
 
 Semantics vs the exact path: samples whose bilinear footprint falls fully
 inside the tile window (|offset| <= R = T-1 cells of the target level) are
-EXACT (zero-padding corner handling matches deformable.ms_deform_attn).
-Samples beyond the window contribute 0 — a bounded deviation gated by
+EXACT, including zero-padding at the map border (the window is cut from a
+T-cell zero-padded map, so partial/out-of-map corners match
+deformable.ms_deform_attn bit for bit). Samples beyond the window CLAMP to
+the window edge (the nearest representable location — strictly closer to the
+true sample than dropping it, for smooth feature maps), except samples fully
+outside the map, which contribute exactly 0 like the original op's zero
+padding. The deviation is therefore confined to in-map samples offset more
+than R cells from their query's tile, and bounded by the feature variation
+between the true location and the window edge — measured in
+tools/measure_deform_window.py, recorded in PARITY.md. Gated by
 ``GDINOConfig.enc_windowed_deform`` / env ``BFF_DEFORM_WINDOWED`` (the exact
 gather path remains the fallback). Decoder layers (dynamic reference points)
 always use the exact path.
@@ -214,11 +222,13 @@ def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
     pgx = permute(gx.astype(jnp.float32))
     ry = pgy - ty0[:, None, None, None]
     rx = pgx - tx0[:, None, None, None]
-    # exactness region: full bilinear footprint inside the window
-    inwin = (ry >= 0) & (ry < w3 - 1) & (rx >= 0) & (rx < w3 - 1)
+    # samples fully outside the MAP contribute exactly 0 (the original op's
+    # zero padding); in-map samples beyond the window clamp to the window
+    # edge below (see module docstring)
+    inmap = (pgy > -1.0) & (pgy < float(h)) & (pgx > -1.0) & (pgx < float(w))
     paw = (permute(aw.astype(jnp.float32))
            * valid[:, None, :, None].repeat(p_pts, -1).reshape(n_tiles, 1, 1, sp)
-           * inwin)
+           * inmap)
     ry = jnp.clip(ry, 0.0, w3 - 2.0)
     rx = jnp.clip(rx, 0.0, w3 - 2.0)
 

@@ -521,7 +521,33 @@ class GroundingDINO:
         return self._predict_common(frames_dev, caption, box_threshold, text_threshold,
                                     frames=True)
 
-    def _predict_common(self, images, caption, box_threshold, text_threshold, frames):
+    def predict_batch_frames_async(self, frames_dev, caption: str):
+        """Dispatch-only detection on an uploaded frame buffer: enqueues the
+        jitted forward and returns a handle WITHOUT blocking on the result —
+        the seg2d driver software-pipelines the next batch's detection behind
+        the current batch's SAM work (the reference's loop is strictly
+        sequential, tools/segmentation_2d.py:243-278). Finish with
+        :meth:`predict_finalize`."""
+        return self._dispatch(frames_dev, caption, frames=True)
+
+    def predict_finalize(self, handle, box_threshold: float = 0.35,
+                         text_threshold: float = 0.25):
+        """Host half of an async detection: download + threshold + phrases."""
+        top_scores_d, top_boxes_d, top_probs_d, ids, b = handle
+        top_scores = np.asarray(top_scores_d, np.float32)
+        top_boxes = np.asarray(top_boxes_d, np.float32)
+        top_probs = np.asarray(top_probs_d, np.float32)
+        out = []
+        for i in range(b):
+            keep = top_scores[i] > box_threshold
+            phrases = [
+                self._phrase_from_posmap(p > text_threshold, ids[0])
+                for p in top_probs[i][keep]
+            ]
+            out.append((top_boxes[i][keep], top_scores[i][keep], phrases))
+        return out
+
+    def _dispatch(self, images, caption, frames):
         caption = self.preprocess_caption(caption)
         enc = self.tokenizer([caption])
         ids = enc["input_ids"][:, : self.cfg.max_text_len]
@@ -549,18 +575,11 @@ class GroundingDINO:
             args = [jax.device_put(a, sharding) for a in args]
         fwd = self._forward_topk_frames if frames else self._forward_topk
         top_scores, top_boxes, top_probs = fwd(self.params, *args)
-        top_scores = np.asarray(top_scores, np.float32)
-        top_boxes = np.asarray(top_boxes, np.float32)
-        top_probs = np.asarray(top_probs, np.float32)
-        out = []
-        for i in range(b):
-            keep = top_scores[i] > box_threshold
-            phrases = [
-                self._phrase_from_posmap(p > text_threshold, ids[0])
-                for p in top_probs[i][keep]
-            ]
-            out.append((top_boxes[i][keep], top_scores[i][keep], phrases))
-        return out
+        return top_scores, top_boxes, top_probs, ids, b
+
+    def _predict_common(self, images, caption, box_threshold, text_threshold, frames):
+        handle = self._dispatch(images, caption, frames)
+        return self.predict_finalize(handle, box_threshold, text_threshold)
 
     def _phrase_from_posmap(self, posmap: np.ndarray, ids: np.ndarray) -> str:
         toks = [self.tokenizer.decode_token(i) for i in ids[np.flatnonzero(posmap)]]

@@ -373,16 +373,27 @@ class Segmentor2D:
                     "labels": list(phrases),
                 })
 
-        def flush_device():
-            import jax.numpy as jnp
+        # one-batch-deep software pipeline (device path): batch t's detection
+        # is DISPATCHED (async) before the host finalizes batch t-1 — so the
+        # chip starts GDINO(t) as soon as SAM(t-1) drains, while the host
+        # builds crops / unpacks masks for t-1. The reference's loop blocks
+        # on every stage in sequence (segmentation_2d.py:243-278).
+        pending: List = []  # [(fids, smalls, input_hw, devs, det_handle)]
 
+        def dispatch_detection():
             fids = [b[0] for b in buf]
             smalls = [b[1] for b in buf]
             input_hw = buf[0][2]
             devs = [b[3] for b in buf]
-            raw = self.detector.predict_batch_frames(
-                _stack_jit(len(devs))(*devs), query, box_threshold=d.box_threshold,
-                text_threshold=d.text_threshold)
+            handle = self.detector.predict_batch_frames_async(
+                _stack_jit(len(devs))(*devs), query)
+            pending.append((fids, smalls, input_hw, devs, handle))
+            buf.clear()
+
+        def complete_pending():
+            fids, smalls, input_hw, devs, handle = pending.pop(0)
+            raw = self.detector.predict_finalize(
+                handle, box_threshold=d.box_threshold, text_threshold=d.text_threshold)
             filtered_all = self._detect_and_filter_batch(smalls, raw, query,
                                                          frame_hw=frame_hw)
             kept, kept_devs = [], []
@@ -394,7 +405,11 @@ class Segmentor2D:
                 embs = self.sam.encode_frames(_stack_jit(len(kept_devs))(*kept_devs))
                 masks = self._decode_masks(embs, [k[2] for k in kept], input_hw, frame_hw)
                 emit(kept, masks)
-            buf.clear()
+
+        def flush_device():
+            dispatch_detection()
+            if len(pending) > 1:
+                complete_pending()
 
         def flush_host():
             fids, images = zip(*buf)
@@ -424,6 +439,8 @@ class Segmentor2D:
                 flush()
         if buf:
             flush()
+        while pending:
+            complete_pending()
         return records
 
 

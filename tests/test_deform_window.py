@@ -75,18 +75,41 @@ def test_windowed_matches_exact_within_radius(rng, level, tile):
     assert np.abs(got).max() > 0  # non-degenerate
 
 
-def test_windowed_zeroes_beyond_window(rng):
-    """Samples far outside the tile window contribute exactly 0."""
+def test_windowed_beyond_window_clamps_and_out_of_map_zeroes(rng):
+    """Out-of-window handling: samples fully outside the MAP contribute
+    exactly 0 (zero-padding parity); in-map samples beyond the window clamp
+    to the window edge (the documented approximation)."""
     value, locs, aw = _setup(rng, max_off=0.5)
     level, tile = 0, 4
     h, w = SHAPES[level]
     v, gx, gy, awl = _level_inputs(value, locs, aw, level)
-    gx_far = gx + 10 * tile  # way past any window
     assign = dw.build_assignment(SHAPES, level, tile)
+
+    # (a) far outside the map -> exactly 0
     got = np.asarray(dw.sample_level_windowed(
-        jnp.asarray(v), jnp.asarray(gx_far), jnp.asarray(gy), jnp.asarray(awl),
-        assign, h, w, interpret=True))
+        jnp.asarray(v), jnp.asarray(gx + 10 * w), jnp.asarray(gy),
+        jnp.asarray(awl), assign, h, w, interpret=True))
     np.testing.assert_array_equal(got, 0)
+
+    # (b) in-map but beyond the window -> the clamped-to-window-edge sample:
+    # equals running the kernel with coordinates pre-clamped to each query's
+    # window (computed from the assignment geometry)
+    gx_far = np.clip(gx + 2.5 * tile, None, w - 1.01)  # in-map, out-of-window for most
+    w3 = 3 * tile
+    tx0 = (assign.inv // assign.s_pad % assign.ntx).astype(np.float32) * tile - tile
+    ty0 = (assign.inv // assign.s_pad // assign.ntx).astype(np.float32) * tile - tile
+    gx_clamped = np.clip(gx_far, tx0[None, :, None, None],
+                         tx0[None, :, None, None] + w3 - 2)
+    gy_clamped = np.clip(gy, ty0[None, :, None, None],
+                         ty0[None, :, None, None] + w3 - 2)
+    got_far = np.asarray(dw.sample_level_windowed(
+        jnp.asarray(v), jnp.asarray(gx_far), jnp.asarray(gy),
+        jnp.asarray(awl), assign, h, w, interpret=True))
+    got_pre = np.asarray(dw.sample_level_windowed(
+        jnp.asarray(v), jnp.asarray(gx_clamped), jnp.asarray(gy_clamped),
+        jnp.asarray(awl), assign, h, w, interpret=True))
+    np.testing.assert_allclose(got_far, got_pre, atol=1e-5, rtol=1e-5)
+    assert np.abs(got_far).max() > 0  # clamped samples DO contribute now
 
 
 def test_assignment_covers_all_queries():
