@@ -107,7 +107,6 @@ def ms_deform_attn(
 
         interp = not _dispatch.on_tpu()
         shapes_key = tuple((int(h), int(w)) for h, w in spatial_shapes)
-        max_hw = max(sizes)
 
     p_pts = sampling_locs.shape[4]
     out = jnp.zeros((b, q, heads, head_dim), value.dtype)
@@ -122,7 +121,11 @@ def ms_deform_attn(
         y0 = jnp.floor(gy)
 
         if use_win and h * w > _MATMUL_LEVEL_MAX:
-            tile = 16 if h * w == max_hw else 8
+            # tile 16 (radius 15 cells) for every windowed level: the
+            # measured deviation at R=7 was marginal for 3-4-cell offsets
+            # (tools/measure_deform_window.py, PARITY.md) while R=15 is
+            # exact through sigma=4 — the trained-offset regime
+            tile = 16
             assign = dw.build_assignment(shapes_key, li, tile)
             out = out + dw.sample_level_windowed(
                 v, gx, gy, attention_weights[:, :, :, li], assign, h, w,

@@ -141,8 +141,39 @@ class ClipTokenizer:
 
 
 # ------------------------------------------------------------ BERT WordPiece
+def _is_cjk(cp: int) -> bool:
+    """CJK unified ideograph ranges (the official BasicTokenizer table)."""
+    return (
+        0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+def _is_bert_punctuation(ch: str) -> bool:
+    """The official ``_is_punctuation``: the four ASCII symbol ranges (which
+    include '_', '$', '`'...) plus every unicode P* category."""
+    import unicodedata
+
+    cp = ord(ch)
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
 class BertTokenizer:
-    """Lower-cased WordPiece over a standard BERT ``vocab.txt``."""
+    """Lower-cased WordPiece over a standard BERT ``vocab.txt``.
+
+    Implements the official basic-tokenize algorithm (HF BertTokenizer /
+    the original BERT repo, which the reference's groundingdino text stack
+    runs): control-char cleanup, CJK spacing, NFD accent stripping under
+    lowercasing, punctuation splitting with the ASCII-range + P* definition
+    (so '_' splits), and the 100-char word cap that maps huge tokens to
+    [UNK] wholesale. Pinned against the installed transformers tokenizer in
+    tests/test_tokenizers_official.py."""
+
+    MAX_WORD_CHARS = 100
 
     def __init__(self, vocab_path: str, max_len: int = 256):
         with open(vocab_path, encoding="utf-8") as f:
@@ -154,12 +185,53 @@ class BertTokenizer:
         self.unk = self.vocab["[UNK]"]
         self.pad = self.vocab.get("[PAD]", 0)
 
+    @staticmethod
+    def _clean(text: str) -> str:
+        import unicodedata
+
+        out = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD:
+                continue
+            cat = unicodedata.category(ch)
+            if cat.startswith("C") and ch not in ("\t", "\n", "\r"):
+                continue
+            if ch in ("\t", "\n", "\r") or cat == "Zs":
+                out.append(" ")
+            elif _is_cjk(cp):
+                out.append(f" {ch} ")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    @staticmethod
+    def _strip_accents(text: str) -> str:
+        import unicodedata
+
+        return "".join(ch for ch in unicodedata.normalize("NFD", text)
+                       if unicodedata.category(ch) != "Mn")
+
     def _split(self, text: str) -> List[str]:
-        text = text.lower()
-        text = re.sub(r"([^\w\s])", r" \1 ", text)
-        return text.split()
+        text = self._strip_accents(self._clean(text).lower())
+        words: List[str] = []
+        for tok in text.split():
+            cur = ""
+            for ch in tok:
+                if _is_bert_punctuation(ch):
+                    if cur:
+                        words.append(cur)
+                        cur = ""
+                    words.append(ch)
+                else:
+                    cur += ch
+            if cur:
+                words.append(cur)
+        return words
 
     def _wordpiece(self, word: str) -> List[int]:
+        if len(word) > self.MAX_WORD_CHARS:
+            return [self.unk]
         if word in self.vocab:
             return [self.vocab[word]]
         ids: List[int] = []
@@ -181,10 +253,19 @@ class BertTokenizer:
             start = end
         return ids
 
+    SPECIAL = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+
     def encode(self, text: str) -> List[int]:
+        """Special-token literals in the text map directly to their ids
+        (HF never-split behavior); everything else basic-tokenizes."""
         ids: List[int] = []
-        for word in self._split(text):
-            ids.extend(self._wordpiece(word))
+        pattern = "(" + "|".join(re.escape(s) for s in self.SPECIAL) + ")"
+        for part in re.split(pattern, text):
+            if part in self.SPECIAL:
+                ids.append(self.vocab[part])
+                continue
+            for word in self._split(part):
+                ids.extend(self._wordpiece(word))
         return ids
 
     def __call__(self, texts: Sequence[str]) -> dict:

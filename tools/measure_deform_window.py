@@ -55,7 +55,7 @@ def _centers(shapes):
     return np.concatenate(cs, 0)
 
 
-def kernel_level(rng, sigmas, heads=8, hd=32, p=4, interpret=None):
+def kernel_level(rng, sigmas, heads=2, hd=8, p=4, interpret=None):
     if interpret is None:
         interpret = not on_tpu()
     shapes = SHAPES_800
@@ -63,38 +63,37 @@ def kernel_level(rng, sigmas, heads=8, hd=32, p=4, interpret=None):
     q = centers.shape[0]
     value = rng.normal(size=(1, q, heads, hd)).astype(np.float32)
     print(f"# kernel-level, shapes={shapes}, Q={q}, heads={heads}, "
-          f"p={p}, interpret={interpret}")
-    print("level sigma_cells  frac_beyond_R  mean_abs_err  max_abs_err  rel_l2")
+          f"p={p}, interpret={interpret}", flush=True)
+    print("level sigma_cells  frac_beyond_R  mean_abs_err  max_abs_err  rel_l2",
+          flush=True)
     for level, tile in [(0, 16), (1, 8)]:
         h, w = shapes[level]
         assign = dw.build_assignment(shapes, level, tile)
         radius = tile - 1
+        v = value[:, sum(hh * ww for hh, ww in shapes[:level]):][:, : h * w]
         for sigma in sigmas:
             off = rng.normal(0, sigma, (1, q, heads, p, 2)).astype(np.float32)
-            locs = np.zeros((1, q, heads, len(shapes), p, 2), np.float32)
-            for li, (hh, ww) in enumerate(shapes):
-                locs[:, :, :, li, :, 0] = centers[None, :, None, None, 0] + off[..., 0] / w
-                locs[:, :, :, li, :, 1] = centers[None, :, None, None, 1] + off[..., 1] / h
-            aw = rng.uniform(0.1, 1.0, (1, q, heads, len(shapes), p)).astype(np.float32)
+            locs1 = np.zeros((1, q, heads, 1, p, 2), np.float32)
+            locs1[:, :, :, 0, :, 0] = centers[None, :, None, None, 0] + off[..., 0] / w
+            locs1[:, :, :, 0, :, 1] = centers[None, :, None, None, 1] + off[..., 1] / h
+            aw = rng.uniform(0.1, 1.0, (1, q, heads, 1, p)).astype(np.float32)
             aw /= aw.sum((-1, -2), keepdims=True)
 
-            gx = locs[:, :, :, level, :, 0] * w - 0.5
-            gy = locs[:, :, :, level, :, 1] * h - 0.5
-            v = value[:, sum(hh * ww for hh, ww in shapes[:level]):][:, : h * w]
+            gx = locs1[:, :, :, 0, :, 0] * w - 0.5
+            gy = locs1[:, :, :, 0, :, 1] * h - 0.5
             got = np.asarray(dw.sample_level_windowed(
                 jnp.asarray(v), jnp.asarray(gx), jnp.asarray(gy),
-                jnp.asarray(aw[:, :, :, level]), assign, h, w,
+                jnp.asarray(aw[:, :, :, 0]), assign, h, w,
                 interpret=interpret))
-            aw_only = np.zeros_like(aw)
-            aw_only[:, :, :, level] = aw[:, :, :, level]
+            # exact single-level reference
             want = np.asarray(deformable.ms_deform_attn(
-                jnp.asarray(value), shapes, jnp.asarray(locs),
-                jnp.asarray(aw_only))).reshape(got.shape)
+                jnp.asarray(v), [(h, w)], jnp.asarray(locs1),
+                jnp.asarray(aw))).reshape(got.shape)
             err = np.abs(got - want)
             beyond = float((np.abs(off) > radius).any(-1).mean())
             rel = float(np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-12))
             print(f"L{level}    {sigma:5.1f}       {beyond:.4f}        "
-                  f"{err.mean():.2e}      {err.max():.2e}    {rel:.2e}")
+                  f"{err.mean():.2e}      {err.max():.2e}    {rel:.2e}", flush=True)
 
 
 def full_model(rng, alphas):
@@ -116,17 +115,14 @@ def full_model(rng, alphas):
     pos = jnp.zeros((1, t), jnp.int32)
 
     print("\n# full-model, L0 32x48 (T=16, R=15), offsets scaled by alpha")
-    print("alpha  off_p99_cells  max|dbox|   max|dlogit|  topk_overlap")
+    print("alpha  max|dbox|   max|dlogit|  topk_overlap")
     base = g.params
     for alpha in alphas:
         params = jax.tree_util.tree_map(lambda x: x, base)
-        p99s = []
         for li in range(cfg.enc_layers):
             so = params["params"][f"enc{li}"]["deform"]["sampling_offsets"]
             so["kernel"] = so["kernel"] * alpha
             so["bias"] = so["bias"] * alpha
-            # empirical offset scale: bias plus typical activation response
-            p99s.append(float(np.percentile(np.abs(np.asarray(so["bias"])), 99)))
         os.environ["BFF_DEFORM_WINDOWED"] = "0"
         exact_logits, exact_boxes = g.module.apply(params, img, ids, sm, pm, pos)
         os.environ["BFF_DEFORM_WINDOWED"] = "1"
@@ -140,7 +136,7 @@ def full_model(rng, alphas):
         te = set(np.argsort(se)[-8:].tolist())
         tw = set(np.argsort(sw)[-8:].tolist())
         ov = len(te & tw) / 8.0
-        print(f"{alpha:5.2f}   {np.mean(p99s):8.2f}    {dbox:.2e}   {dlog:.2e}     {ov:.2f}")
+        print(f"{alpha:5.2f}  {dbox:.2e}   {dlog:.2e}     {ov:.2f}")
 
 
 def main():
