@@ -121,11 +121,18 @@ def ms_deform_attn(
         y0 = jnp.floor(gy)
 
         if use_win and h * w > _MATMUL_LEVEL_MAX:
-            # tile 16 (radius 15 cells) for every windowed level: the
-            # measured deviation at R=7 was marginal for 3-4-cell offsets
-            # (tools/measure_deform_window.py, PARITY.md) while R=15 is
-            # exact through sigma=4 — the trained-offset regime
-            tile = 16
+            # Largest level: tile 16 (radius 15 cells — measured exact
+            # through sigma=4-cell offsets, the trained regime). Second
+            # level: tile 8 (radius 7) — tile 16 measured +19.4 ms/forward
+            # on a v5e for a deviation that clamp-to-edge already bounds
+            # (sigma=2 -> 0.9% of that level's contribution, sigma=3 ->
+            # 8.9%; tools/measure_deform_window.py, PARITY.md).
+            # BFF_DEFORM_TILE2=16 restores the wide window for
+            # accuracy-critical runs.
+            import os as _os
+
+            tile = 16 if h * w == max(sizes) else int(
+                _os.environ.get("BFF_DEFORM_TILE2", "8"))
             assign = dw.build_assignment(shapes_key, li, tile)
             out = out + dw.sample_level_windowed(
                 v, gx, gy, attention_weights[:, :, :, li], assign, h, w,

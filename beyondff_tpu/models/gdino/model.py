@@ -456,6 +456,19 @@ class GroundingDINO:
 
         self._forward_topk_frames = jax.jit(fwd_topk_frames)
 
+        def fwd_topk_frames_mapped(p, frames_u8, ids, sm, pm, pos):
+            # single-device frame batches run as lax.map of the batch-1
+            # program inside ONE dispatch: XLA's fusion degrades at batch>1
+            # here (measured 168 -> 132.6 ms/frame at batch 4 on a v5e) while
+            # the sequential map keeps batch-1 per-frame cost
+            def one(fr):
+                out = fwd_topk_frames(p, fr[None], ids, sm, pm, pos)
+                return tuple(o[0] for o in out)
+
+            return jax.lax.map(one, frames_u8)
+
+        self._forward_topk_frames_mapped = jax.jit(fwd_topk_frames_mapped)
+
     @classmethod
     def create(cls, name_or_cfg="swinb", tokenizer=None, seed: int = 0, dtype=jnp.float32,
                device_fill: bool = False):
@@ -561,12 +574,20 @@ class GroundingDINO:
             b = img.shape[0]
         else:
             img = np.concatenate([self.preprocess_image(im) for im in images], axis=0)
+        devices = jax.devices()
+        sharded = len(devices) > 1 and b % len(devices) == 0
+        if frames and not sharded and b > 1:
+            # mapped batch-1 program (see fwd_topk_frames_mapped): text
+            # tensors stay unbatched, only frames map
+            args = [img, jnp.asarray(ids), jnp.asarray(self_mask),
+                    jnp.asarray(pad), jnp.asarray(pos_ids)]
+            out = self._forward_topk_frames_mapped(self.params, *args)
+            return (*out, ids, b)
         tile = lambda x: np.broadcast_to(x, (b, *x.shape[1:]))
         args = [img if frames else jnp.asarray(img), jnp.asarray(tile(ids)),
                 jnp.asarray(tile(self_mask)),
                 jnp.asarray(tile(pad)), jnp.asarray(tile(pos_ids))]
-        devices = jax.devices()
-        if len(devices) > 1 and b % len(devices) == 0:
+        if sharded:
             # data-parallel inference: shard the frame batch over all devices
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
 

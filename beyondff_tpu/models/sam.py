@@ -444,6 +444,14 @@ class SAM:
             rows = jnp.arange(s_img) < nh
             cols = jnp.arange(s_img) < nw
             x = x * (rows[:, None] & cols[None, :])[None, :, :, None]
+            n_dev = len(jax.devices())
+            if b > 1 and not (n_dev > 1 and b % n_dev == 0):
+                # frame batches run as lax.map of the batch-1 encoder in one
+                # dispatch: XLA's batched-encoder fusion degrades past
+                # batch 1 (measured 104.6 -> 70.6 ms/frame at batch 4, v5e)
+                return jax.lax.map(
+                    lambda xi: self.module.apply(p, xi[None],
+                                                 method=SAMModule.encode)[0], x)
             return self.module.apply(p, x, method=SAMModule.encode)
 
         self._encode_frames = jax.jit(encode_frames_u8)
