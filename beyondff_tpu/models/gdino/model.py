@@ -422,18 +422,26 @@ class GroundingDINO:
         mean = jnp.asarray(IMAGE_MEAN)
         std = jnp.asarray(IMAGE_STD)
 
-        def fwd_topk(p, img_u8, ids, sm, pm, pos):
-            # images upload as uint8 (3.9x less host->device traffic) and
-            # normalize on device; device-side score computation + top-K
-            # selection returns only (B, K) boxes/scores/posmaps to the host
-            img = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
-            logits, boxes = self.module.apply(p, img, ids, sm, pm, pos)
+        def pack_topk(logits, boxes):
+            """Device-side top-K + packing into ONE array: scores | boxes |
+            per-token probs, so the host finalize costs a single download
+            round trip over the (high-latency) link instead of three."""
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
             scores = jnp.max(probs, axis=-1)  # (B, Q)
             top_scores, top_idx = jax.lax.top_k(scores, k)
             top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
             top_probs = jnp.take_along_axis(probs, top_idx[..., None], axis=1)
-            return top_scores, top_boxes, top_probs
+            return jnp.concatenate(
+                [top_scores[..., None], top_boxes.astype(jnp.float32), top_probs],
+                axis=-1)  # (B, K, 1+4+T)
+
+        def fwd_topk(p, img_u8, ids, sm, pm, pos):
+            # images upload as uint8 (3.9x less host->device traffic) and
+            # normalize on device; device-side score computation + top-K
+            # selection returns only (B, K) packed rows to the host
+            img = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
+            logits, boxes = self.module.apply(p, img, ids, sm, pm, pos)
+            return pack_topk(logits, boxes)
 
         self._forward_topk = jax.jit(fwd_topk)
 
@@ -447,12 +455,7 @@ class GroundingDINO:
                                  "bilinear", antialias=False)
             img = (x / 255.0 - mean) / std
             logits, boxes = self.module.apply(p, img, ids, sm, pm, pos)
-            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-            scores = jnp.max(probs, axis=-1)
-            top_scores, top_idx = jax.lax.top_k(scores, k)
-            top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
-            top_probs = jnp.take_along_axis(probs, top_idx[..., None], axis=1)
-            return top_scores, top_boxes, top_probs
+            return pack_topk(logits, boxes)
 
         self._forward_topk_frames = jax.jit(fwd_topk_frames)
 
@@ -462,8 +465,7 @@ class GroundingDINO:
             # here (measured 168 -> 132.6 ms/frame at batch 4 on a v5e) while
             # the sequential map keeps batch-1 per-frame cost
             def one(fr):
-                out = fwd_topk_frames(p, fr[None], ids, sm, pm, pos)
-                return tuple(o[0] for o in out)
+                return fwd_topk_frames(p, fr[None], ids, sm, pm, pos)[0]
 
             return jax.lax.map(one, frames_u8)
 
@@ -545,11 +547,13 @@ class GroundingDINO:
 
     def predict_finalize(self, handle, box_threshold: float = 0.35,
                          text_threshold: float = 0.25):
-        """Host half of an async detection: download + threshold + phrases."""
-        top_scores_d, top_boxes_d, top_probs_d, ids, b = handle
-        top_scores = np.asarray(top_scores_d, np.float32)
-        top_boxes = np.asarray(top_boxes_d, np.float32)
-        top_probs = np.asarray(top_probs_d, np.float32)
+        """Host half of an async detection: ONE packed download + threshold
+        + phrase extraction."""
+        packed_d, ids, b = handle
+        packed = np.asarray(packed_d, np.float32)  # (B, K, 1+4+T)
+        top_scores = packed[..., 0]
+        top_boxes = packed[..., 1:5]
+        top_probs = packed[..., 5:]
         out = []
         for i in range(b):
             keep = top_scores[i] > box_threshold
@@ -581,8 +585,8 @@ class GroundingDINO:
             # tensors stay unbatched, only frames map
             args = [img, jnp.asarray(ids), jnp.asarray(self_mask),
                     jnp.asarray(pad), jnp.asarray(pos_ids)]
-            out = self._forward_topk_frames_mapped(self.params, *args)
-            return (*out, ids, b)
+            packed = self._forward_topk_frames_mapped(self.params, *args)
+            return packed, ids, b
         tile = lambda x: np.broadcast_to(x, (b, *x.shape[1:]))
         args = [img if frames else jnp.asarray(img), jnp.asarray(tile(ids)),
                 jnp.asarray(tile(self_mask)),
@@ -595,8 +599,8 @@ class GroundingDINO:
             sharding = NamedSharding(mesh, PartitionSpec("data"))
             args = [jax.device_put(a, sharding) for a in args]
         fwd = self._forward_topk_frames if frames else self._forward_topk
-        top_scores, top_boxes, top_probs = fwd(self.params, *args)
-        return top_scores, top_boxes, top_probs, ids, b
+        packed = fwd(self.params, *args)
+        return packed, ids, b
 
     def _predict_common(self, images, caption, box_threshold, text_threshold, frames):
         handle = self._dispatch(images, caption, frames)

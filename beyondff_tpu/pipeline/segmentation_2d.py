@@ -408,7 +408,11 @@ class Segmentor2D:
 
         def flush_device():
             dispatch_detection()
-            if len(pending) > 1:
+            # two batches stay in flight: the device queue holds det(t) and
+            # det(t+1) while the host finalizes t-1 — absorbs host-side
+            # jitter (JPEG decode, crop building, mask unpacking) without
+            # ever idling the chip
+            if len(pending) > 2:
                 complete_pending()
 
         def flush_host():
@@ -433,7 +437,7 @@ class Segmentor2D:
 
         flush = flush_device if device_frames else flush_host
 
-        for item in prefetch_map(load, frame_ids, depth=2 * max(1, d.frame_batch)):
+        for item in prefetch_map(load, frame_ids, depth=3 * max(1, d.frame_batch)):
             buf.append(item)
             if len(buf) == max(1, d.frame_batch):
                 flush()
