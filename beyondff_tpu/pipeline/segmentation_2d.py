@@ -406,13 +406,14 @@ class Segmentor2D:
                 masks = self._decode_masks(embs, [k[2] for k in kept], input_hw, frame_hw)
                 emit(kept, masks)
 
+        # in-flight detection batches: det(t) and det(t+1) queue on device
+        # while the host finalizes t-1 — absorbs host-side jitter (JPEG
+        # decode, crop building, mask unpacking) without idling the chip
+        inflight = int(os.environ.get("BFF_SEG2D_INFLIGHT", "2"))
+
         def flush_device():
             dispatch_detection()
-            # two batches stay in flight: the device queue holds det(t) and
-            # det(t+1) while the host finalizes t-1 — absorbs host-side
-            # jitter (JPEG decode, crop building, mask unpacking) without
-            # ever idling the chip
-            if len(pending) > 2:
+            if len(pending) > inflight:
                 complete_pending()
 
         def flush_host():
@@ -437,7 +438,9 @@ class Segmentor2D:
 
         flush = flush_device if device_frames else flush_host
 
-        for item in prefetch_map(load, frame_ids, depth=3 * max(1, d.frame_batch)):
+        depth = int(os.environ.get("BFF_SEG2D_PREFETCH", "0")) or (
+            3 * max(1, d.frame_batch))
+        for item in prefetch_map(load, frame_ids, depth=depth):
             buf.append(item)
             if len(buf) == max(1, d.frame_batch):
                 flush()
