@@ -154,11 +154,25 @@ def aggregate_chunks(
 
     # bucket the row count so scenes of different sizes reuse compiled programs
     pad_rows = -n_ins % 128
-    sel_arr = np.concatenate([np.asarray(sel, np.int32),
-                              np.zeros(pad_rows, np.int32)])
     n_pad = int(chunks[0][0].shape[-1])
-    flat = jnp.concatenate([dev.reshape(-1, n_pad) for dev, _ in chunks])
-    mem = jnp.take(flat, jnp.asarray(sel_arr), axis=0)  # (I_b, N_pad) bool
+    # valid rows gather PER CHUNK before concatenation: the device peak is
+    # sum(m_i) rows, not the full (sum F*m_pad) padded stack — this also
+    # lets host-spilled chunks (projection's BFF_MEMBERSHIP_HBM_MB cap)
+    # re-upload only their valid rows
+    parts = []
+    for dev, sizes in chunks:
+        m_pad = int(dev.shape[1])
+        idx = [np.arange(i * m_pad, i * m_pad + m_i, dtype=np.int32)
+               for i, m_i in enumerate(sizes) if m_i]
+        if idx:
+            flat_idx = np.concatenate(idx)
+            if isinstance(dev, np.ndarray):  # spilled chunk: select on host
+                parts.append(jnp.asarray(dev.reshape(-1, n_pad)[flat_idx]))
+            else:
+                parts.append(jnp.take(dev.reshape(-1, n_pad),
+                                      jnp.asarray(flat_idx), axis=0))
+    parts.append(jnp.zeros((pad_rows, n_pad), bool))
+    mem = jnp.concatenate(parts)  # (I_b, N_pad) bool, row order == sel order
 
     from beyondff_tpu.kernels import dispatch
 

@@ -75,6 +75,9 @@ class FrameReader:
     def image_path(self, frame_id: str) -> str:
         return os.path.join(self.scene_dir, "color", f"{frame_id}.jpg")
 
+    def depth_path(self, frame_id: str) -> str:
+        return os.path.join(self.scene_dir, "depth", f"{frame_id}.png")
+
     def frame(self, frame_id: str) -> Dict:
         return {
             "frame_id": frame_id,

@@ -131,8 +131,10 @@ def ms_deform_attn(
             # accuracy-critical runs.
             import os as _os
 
-            tile = 16 if h * w == max(sizes) else int(
-                _os.environ.get("BFF_DEFORM_TILE2", "8"))
+            if h * w == max(sizes):
+                tile = int(_os.environ.get("BFF_DEFORM_TILE1", "16"))
+            else:
+                tile = int(_os.environ.get("BFF_DEFORM_TILE2", "8"))
             assign = dw.build_assignment(shapes_key, li, tile)
             out = out + dw.sample_level_windowed(
                 v, gx, gy, attention_weights[:, :, :, li], assign, h, w,

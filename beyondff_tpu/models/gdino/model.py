@@ -376,6 +376,8 @@ class GDINOModule(nn.Module):
         ref_fc1 = nn.Dense(c.hidden, dtype=self.dtype, name="ref_point_fc1")  # shared
         ref_fc2 = nn.Dense(c.hidden, dtype=self.dtype, name="ref_point_fc2")
         ref = boxes
+        ref_in = ref  # dec_layers=0 (profiling ablations): heads read the
+        # encoder proposals directly
         for li in range(c.dec_layers):
             # official ordering: gen_sineembed_for_position emits
             # (pos_y, pos_x, pos_w, pos_h) for (cx, cy, w, h) refs (the HF

@@ -157,7 +157,10 @@ class ViTAttention(nn.Module):
                 out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
                 return nn.Dense(c, dtype=self.dtype, name="proj")(out)
         logits = (q * head_dim ** -0.5) @ k.transpose(0, 2, 1)
-        if self.use_rel_pos:
+        # BFF_SAM_ABLATE: timing-attribution knob (tools/profile_sam.py) —
+        # never set in production
+        ablate = os.environ.get("BFF_SAM_ABLATE", "")
+        if self.use_rel_pos and "norelpos" not in ablate:
             rel_h = self.param("rel_pos_h", nn.initializers.zeros, (2 * h - 1, head_dim))
             rel_w = self.param("rel_pos_w", nn.initializers.zeros, (2 * w - 1, head_dim))
             logits = logits + _rel_pos_bias((h, w), (h, w), rel_h.astype(self.dtype),
@@ -182,6 +185,7 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
+        ablate = os.environ.get("BFF_SAM_ABLATE", "")  # profiling only
         h0, w0 = x.shape[1], x.shape[2]
         shortcut = x
         x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
@@ -190,12 +194,16 @@ class ViTBlock(nn.Module):
             hw = (self.window_size, self.window_size)
         else:
             hw = (h0, w0)
-        x = ViTAttention(self.num_heads, use_rel_pos=self.use_rel_pos, input_hw=hw,
-                         softmax_f32=self.softmax_f32, dtype=self.dtype, name="attn")(x)
+        if not ("noattn" in ablate and self.window_size > 0):
+            x = ViTAttention(self.num_heads, use_rel_pos=self.use_rel_pos,
+                             input_hw=hw, softmax_f32=self.softmax_f32,
+                             dtype=self.dtype, name="attn")(x)
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, padded, (h0, w0))
         x = shortcut + x
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        if "nomlp" in ablate:
+            return x
         return x + MLP(x.shape[-1] * 4, activation=_gelu_exact, dtype=self.dtype,
                        name="mlp")(h)
 

@@ -126,10 +126,29 @@ def lift_scene_streamed(
     pending: List[tuple] = []
     _PENDING_MAX = 3
 
+    # device-resident membership is capped: past BFF_MEMBERSHIP_HBM_MB
+    # (default 6 GiB of the 16 GiB HBM) the OLDEST chunks spill to host
+    # numpy — aggregate_chunks re-uploads them chunk-by-chunk, so scenes
+    # with many more detection frames than the bench fixture degrade to
+    # the streamed path instead of OOMing
+    hbm_cap = int(os.environ.get("BFF_MEMBERSHIP_HBM_MB", "6144")) * (1 << 20)
+    dev_bytes = [0]
+
+    def _chunk_bytes(dev) -> int:
+        return int(np.prod(dev.shape))  # bool -> 1 byte/elem
+
     def _drain(limit: int) -> None:
         if device_membership:
-            device_chunks.extend(pending)
+            for dev, sizes in pending:
+                device_chunks.append((dev, sizes))
+                dev_bytes[0] += _chunk_bytes(dev)
             pending.clear()
+            for i, (dev, sizes) in enumerate(device_chunks):
+                if dev_bytes[0] <= hbm_cap:
+                    break
+                if not isinstance(dev, np.ndarray):
+                    device_chunks[i] = (np.asarray(dev), sizes)
+                    dev_bytes[0] -= _chunk_bytes(dev)
             return
         while len(pending) > limit:
             dev, sizes = pending.pop(0)
@@ -372,12 +391,29 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
 
     def _depth_raw(fid: str) -> np.ndarray:
         if cache_dir is not None:
-            path = os.path.join(cache_dir, f"{fid}.d{dec}.npy")
+            # the source PNG's (size, mtime) is part of the cache filename:
+            # a re-rendered/replaced depth frame invalidates its entry
+            # instead of silently serving stale data
+            try:
+                st = os.stat(reader.depth_path(fid))
+                tag = f"{st.st_size}_{st.st_mtime_ns}"
+            except OSError:
+                tag = "nosrc"
+            path = os.path.join(cache_dir, f"{fid}.d{dec}.{tag}.npy")
             if os.path.exists(path):
                 try:
                     return np.load(path)
                 except (OSError, ValueError):
                     pass  # truncated write; fall through to re-decode
+            # drop superseded entries for this frame (bounds the footprint
+            # to one uncompressed uint16 array per (frame, decimation))
+            prefix = f"{fid}.d{dec}."
+            for old in os.listdir(cache_dir):
+                if old.startswith(prefix) and old != os.path.basename(path):
+                    try:
+                        os.remove(os.path.join(cache_dir, old))
+                    except OSError:
+                        pass
         raw = reader.depth_raw(fid)
         # decimate before upload: the visibility test samples depth at
         # projected points under an 0.08 m tolerance (see FramesConfig)

@@ -142,6 +142,41 @@ def test_aggregate_chunks_matches_host_path(rng):
     np.testing.assert_allclose(dev.conf, host.conf, rtol=1e-6)
 
 
+def test_aggregate_chunks_host_spilled_mix(rng):
+    """Chunks spilled to host numpy (projection's BFF_MEMBERSHIP_HBM_MB cap)
+    must aggregate identically to all-device chunks."""
+    import jax.numpy as jnp
+
+    from beyondff_tpu.core.aggregation import aggregate_chunks
+
+    n, n_pad = 300, 384
+    chunks, confs, labels = [], [], []
+    for c in range(3):
+        f_pad, m_pad = 2, 3
+        dev = np.zeros((f_pad, m_pad, n_pad), bool)
+        sizes = []
+        for i in range(f_pad):
+            m_i = int(rng.integers(1, m_pad + 1))
+            sizes.append(m_i)
+            for j in range(m_i):
+                dev[i, j, :n] = rng.random(n) < 0.3
+                confs.append(float(rng.random()))
+                labels.append("clothes")
+        chunks.append((dev, sizes))
+    confs = np.asarray(confs, np.float32)
+
+    all_dev = aggregate_chunks([(jnp.asarray(d), s) for d, s in chunks], n,
+                               confs, labels, iou_thres=0.2,
+                               min_aggregated_masks=2)
+    # first chunk spilled to host, rest on device
+    mixed = [(chunks[0][0], chunks[0][1])] + [
+        (jnp.asarray(d), s) for d, s in chunks[1:]]
+    out = aggregate_chunks(mixed, n, confs, labels, iou_thres=0.2,
+                           min_aggregated_masks=2)
+    assert out.groups == all_dev.groups
+    np.testing.assert_array_equal(out.ins, all_dev.ins)
+
+
 def test_aggregate_chunks_empty():
     from beyondff_tpu.core.aggregation import aggregate_chunks
 
