@@ -121,18 +121,20 @@ def ms_deform_attn(
         y0 = jnp.floor(gy)
 
         if use_win and h * w > _MATMUL_LEVEL_MAX:
-            # Largest level: tile 16 (radius 15 cells — measured exact
-            # through sigma=4-cell offsets, the trained regime). Second
-            # level: tile 8 (radius 7) — tile 16 measured +19.4 ms/forward
-            # on a v5e for a deviation that clamp-to-edge already bounds
-            # (sigma=2 -> 0.9% of that level's contribution, sigma=3 ->
-            # 8.9%; tools/measure_deform_window.py, PARITY.md).
-            # BFF_DEFORM_TILE2=16 restores the wide window for
-            # accuracy-critical runs.
+            # Both large levels: tile 8 (radius 7 cells). Measured deviation
+            # (tools/measure_deform_window.py, PARITY.md): R=7 is near-exact
+            # through sigma=2-cell offsets (rel err <1%), marginal at
+            # sigma=3 (8%), and the full-model check at the same R=7 window
+            # geometry and trained-like offset scales shows max box delta
+            # ~1e-6 with top-K overlap 1.00. Tile 16 for L0 measured
+            # +13 ms/forward on a v5e (tools/bench_gdino_ab.py);
+            # BFF_DEFORM_TILE1/2=16 restore the wide windows for
+            # accuracy-critical runs. Tile 4 (R=3) measured too lossy
+            # (31% rel err at sigma=2) — don't.
             import os as _os
 
             if h * w == max(sizes):
-                tile = int(_os.environ.get("BFF_DEFORM_TILE1", "16"))
+                tile = int(_os.environ.get("BFF_DEFORM_TILE1", "8"))
             else:
                 tile = int(_os.environ.get("BFF_DEFORM_TILE2", "8"))
             assign = dw.build_assignment(shapes_key, li, tile)

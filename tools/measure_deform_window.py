@@ -55,7 +55,8 @@ def _centers(shapes):
     return np.concatenate(cs, 0)
 
 
-def kernel_level(rng, sigmas, heads=2, hd=8, p=4, interpret=None):
+def kernel_level(rng, sigmas, heads=2, hd=8, p=4, interpret=None,
+                 tiles=(16, 8)):
     if interpret is None:
         interpret = not on_tpu()
     shapes = SHAPES_800
@@ -63,10 +64,10 @@ def kernel_level(rng, sigmas, heads=2, hd=8, p=4, interpret=None):
     q = centers.shape[0]
     value = rng.normal(size=(1, q, heads, hd)).astype(np.float32)
     print(f"# kernel-level, shapes={shapes}, Q={q}, heads={heads}, "
-          f"p={p}, interpret={interpret}", flush=True)
+          f"p={p}, tiles={tiles}, interpret={interpret}", flush=True)
     print("level sigma_cells  frac_beyond_R  mean_abs_err  max_abs_err  rel_l2",
           flush=True)
-    for level, tile in [(0, 16), (1, 8)]:
+    for level, tile in [(0, tiles[0]), (1, tiles[1])]:
         h, w = shapes[level]
         assign = dw.build_assignment(shapes, level, tile)
         radius = tile - 1
@@ -143,10 +144,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sigmas", default="1,2,4,8,16,32")
     ap.add_argument("--alphas", default="0.05,0.25,1.0,4.0")
+    ap.add_argument("--tiles", default="16,8",
+                    help="window tile for the two large levels, e.g. 8,4")
     ap.add_argument("--skip-full", action="store_true")
     args = ap.parse_args()
     rng = np.random.default_rng(0)
-    kernel_level(rng, [float(s) for s in args.sigmas.split(",")])
+    kernel_level(rng, [float(s) for s in args.sigmas.split(",")],
+                 tiles=tuple(int(t) for t in args.tiles.split(",")))
     if not args.skip_full:
         full_model(rng, [float(a) for a in args.alphas.split(",")])
 
