@@ -131,7 +131,9 @@ def _chunk(sp: int) -> int:
 
 
 def _kernel(ry_ref, rx_ref, aw_ref, win_ref, e_ref, r_ref, ps_ref, out_ref):
-    """One (tile, batch*head) program: all SP sample rows in row chunks.
+    """One (tile, batch) program: ALL heads' SP sample rows in row chunks
+    (the per-(tile, head) grid spent ~1.4 us launch cost x tiles x heads —
+    at tile 8 that was a quarter of the level call).
 
     One-hot interpolation matrices are built TRANSPOSED — (w3, chunk) with
     samples on lanes — so coords stream as contiguous (1, SP) rows and the
@@ -141,33 +143,36 @@ def _kernel(ry_ref, rx_ref, aw_ref, win_ref, e_ref, r_ref, ps_ref, out_ref):
     output (and its HBM write) is (S, hd), not (S*P, hd)."""
     dtype = win_ref.dtype
     w3 = e_ref.shape[0]
+    heads = ry_ref.shape[2]
     sp = ry_ref.shape[3]
     spb = _chunk(sp)
     sq = ps_ref.shape[0]  # query rows per chunk after the P-sum
-    win = win_ref[0, 0]
     iw = jax.lax.broadcasted_iota(jnp.int32, (w3, spb), 0)
     dn0 = (((0,), (0,)), ((), ()))  # contract leading dims
 
-    for c in range(sp // spb):
-        sl = pl.ds(c * spb, spb)
+    for hh in range(heads):
+        win = win_ref[0, 0, hh]
+        for c in range(sp // spb):
+            sl = pl.ds(c * spb, spb)
 
-        def onehot_t(r):  # (1, spb) f32 in [0, w3-2] -> (w3, spb) weights
-            r0 = jnp.floor(r)
-            f = r - r0
-            r0i = r0.astype(jnp.int32)
-            return (jnp.where(iw == r0i, 1.0 - f, 0.0)
-                    + jnp.where(iw == r0i + 1, f, 0.0)).astype(dtype)
+            def onehot_t(r):  # (1, spb) f32 in [0, w3-2] -> (w3, spb) weights
+                r0 = jnp.floor(r)
+                f = r - r0
+                r0i = r0.astype(jnp.int32)
+                return (jnp.where(iw == r0i, 1.0 - f, 0.0)
+                        + jnp.where(iw == r0i + 1, f, 0.0)).astype(dtype)
 
-        wy_t = onehot_t(ry_ref[0, 0, :, sl])
-        wx_t = onehot_t(rx_ref[0, 0, :, sl]) * aw_ref[0, 0, :, sl].astype(dtype)
-        m1 = jax.lax.dot_general(wy_t, win, dn0,
-                                 preferred_element_type=jnp.float32).astype(dtype)
-        wxe = jax.lax.dot_general(wx_t, e_ref[:], dn0,
-                                  preferred_element_type=jnp.float32).astype(dtype)
-        out = jnp.dot(m1 * wxe, r_ref[:],
-                      preferred_element_type=jnp.float32).astype(dtype)
-        outq = jnp.dot(ps_ref[:], out, preferred_element_type=jnp.float32)
-        out_ref[0, 0, pl.ds(c * sq, sq), :] = outq.astype(out_ref.dtype)
+            wy_t = onehot_t(ry_ref[0, 0, hh:hh + 1, sl])
+            wx_t = (onehot_t(rx_ref[0, 0, hh:hh + 1, sl])
+                    * aw_ref[0, 0, hh:hh + 1, sl].astype(dtype))
+            m1 = jax.lax.dot_general(wy_t, win, dn0,
+                                     preferred_element_type=jnp.float32).astype(dtype)
+            wxe = jax.lax.dot_general(wx_t, e_ref[:], dn0,
+                                      preferred_element_type=jnp.float32).astype(dtype)
+            out = jnp.dot(m1 * wxe, r_ref[:],
+                          preferred_element_type=jnp.float32).astype(dtype)
+            outq = jnp.dot(ps_ref[:], out, preferred_element_type=jnp.float32)
+            out_ref[0, 0, hh, pl.ds(c * sq, sq), :] = outq.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("assign", "h", "w", "interpret"))
@@ -198,9 +203,9 @@ def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
     idx = jnp.asarray(assign.idx)
     valid = jnp.asarray(assign.valid)
 
-    # ---- windows: (tiles, BH, W3, W3*hd) via static per-tile slices (an
-    # 8-D shifted-block transpose measured ~7 ms at the (800,1200) config;
-    # 70 static strided copies compile to plain fast DMAs)
+    # ---- windows: (tiles, B, heads, W3, W3*hd) via static per-tile slices
+    # (an 8-D shifted-block transpose measured ~7 ms at the (800,1200)
+    # config; 70 static strided copies compile to plain fast DMAs)
     vm = v.reshape(b, h, w, heads, hd).transpose(0, 3, 1, 2, 4)
     vm = vm.reshape(b * heads, h, w, hd)
     vp = jnp.pad(vm, ((0, 0), (pad, assign.nty * t + pad - h),
@@ -209,12 +214,12 @@ def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
         vp[:, ti // assign.ntx * t:ti // assign.ntx * t + w3,
            ti % assign.ntx * t:ti % assign.ntx * t + w3]
         for ti in range(n_tiles)])  # (tiles, BH, W3, W3, hd)
-    wins = wins.reshape(n_tiles, b * heads, w3, w3 * hd)
+    wins = wins.reshape(n_tiles, b, heads, w3, w3 * hd)
 
-    # ---- coords permuted to tile order: (tiles, BH, 1, SP)
-    def permute(a):  # (B, Q, heads, P) -> (tiles, BH, 1, SP)
+    # ---- coords permuted to tile order: (tiles, B, heads, SP)
+    def permute(a):  # (B, Q, heads, P) -> (tiles, B, heads, SP)
         pa = a[:, idx]  # (B, tiles, S, heads, P)
-        return pa.transpose(1, 0, 3, 2, 4).reshape(n_tiles, b * heads, 1, sp)
+        return pa.transpose(1, 0, 3, 2, 4).reshape(n_tiles, b, heads, sp)
 
     ty0 = (jnp.arange(n_tiles, dtype=jnp.float32) // assign.ntx) * t - pad
     tx0 = (jnp.arange(n_tiles, dtype=jnp.float32) % assign.ntx) * t - pad
@@ -238,15 +243,16 @@ def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
     spb = _chunk(sp)
     ps = jnp.asarray(_point_sum(spb, p_pts), dtype)
 
-    coord_spec = pl.BlockSpec((1, 1, 1, sp), lambda i, j: (i, j, 0, 0),
+    coord_spec = pl.BlockSpec((1, 1, heads, sp), lambda i, j: (i, j, 0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, b * heads, s, hd), dtype),
-        grid=(n_tiles, b * heads),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, b, heads, s, hd), dtype),
+        grid=(n_tiles, b),
         in_specs=[
             coord_spec, coord_spec, coord_spec,
-            pl.BlockSpec((1, 1, w3, w3 * hd), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, heads, w3, w3 * hd),
+                         lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w3, w3 * hd), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -255,12 +261,12 @@ def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
             pl.BlockSpec((spb // p_pts, spb), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, s, hd), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, heads, s, hd),
+                               lambda i, j: (i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(ry, rx, paw, wins, e, r, ps)
 
     # ---- un-permute back to query order (P-sum happened in-kernel)
-    out = out.reshape(n_tiles, b, heads, s, hd)
     out = out.transpose(1, 0, 3, 2, 4).reshape(b, n_tiles * s, heads, hd)
     return out[:, jnp.asarray(assign.inv)]

@@ -61,11 +61,8 @@ def main():
     pm = jnp.ones((1, t_len), bool)
     pos = jnp.zeros((1, t_len), jnp.int32)
 
-    variants = [("tile1=16 tile2=8 (default)", {}),
-                ("tile1=8", {"BFF_DEFORM_TILE1": "8"}),
-                ("tile1=12", {"BFF_DEFORM_TILE1": "12"}),
-                ("tile1=8 tile2=4", {"BFF_DEFORM_TILE1": "8",
-                                     "BFF_DEFORM_TILE2": "4"}),
+    variants = [("tile1=8 tile2=8 (default)", {}),
+                ("tile1=16", {"BFF_DEFORM_TILE1": "16"}),
                 ("exact gather", {"BFF_DEFORM_WINDOWED": "0"})]
     for name, env in variants:
         old = {k: os.environ.get(k) for k in env}
