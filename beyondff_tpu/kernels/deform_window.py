@@ -8,16 +8,24 @@ SURVEY.md §2.3). On TPU the production XLA path is a 2x2-patch
 per layer at the (800, 1200) config (tools/bench_deform_gather.py).
 
 This kernel exploits the STATIC query raster: queries are bucketed by their
-center cell into TxT tiles of the target level, so one (3T, 3T, hd) value
-window serves every sample of a tile from VMEM, and bilinear interpolation
-becomes three MXU matmuls per (tile, head, row-block):
+center cell into TxT tiles of the target level, so one (3T, W3X, hd) value
+window serves every sample of a tile from VMEM. Per (tile, head, query
+chunk) the kernel builds the COMBINED 2D interpolation weight matrix on the
+VPU — for each query, the sum over its P points of the bilinear 2x2
+footprint times the attention weight, laid out flat over the window cells —
+and contracts it against the flattened window in ONE MXU matmul:
 
-  1. ``m1 = wy @ win``          row one-hot interp    (SPB, W3) x (W3, W3*hd)
-  2. ``wxe = (wx*aw) @ E``      lane expansion        (SPB, W3) x (W3, W3*hd)
-  3. ``out = (m1 * wxe) @ R``   strided column reduce (SPB, W3*hd) x (W3*hd, hd)
+  acc[(y, x), q] = sum_p wy_p[y, q] * (wx_p * aw_p)[x, q]   (VPU outer products)
+  out[d, q]      = sum_(y,x) win[(y, x), d] * acc[(y, x), q]   (MXU)
 
-where W3 = 3T and E / R are constant one-hot expansion / reduction matrices.
-The only VPU work is building the two one-hot interpolation matrices.
+The contraction dim is W3*W3X (hundreds — full 128-lane K utilization) and
+the output is (hd, chunk) with hd on sublanes and queries on lanes — no
+padding waste on either matmul dim. An earlier separable formulation
+(row/column one-hot matmuls with K = W3 = 24 padded to 128, plus expansion /
+reduction / point-sum matmuls) spent ~12x more MXU cycles for the same
+samples. The flat (W3*W3X) weight layout is built as a (W3, W3X, chunk)
+broadcast product and collapsed for free: W3X is padded to the sublane tile
+(16) so the reshape preserves the VMEM tiling.
 
 Semantics vs the exact path: samples whose bilinear footprint falls fully
 inside the tile window (|offset| <= R = T-1 cells of the target level) are
@@ -62,11 +70,15 @@ class TileAssign:
         self.tile = tile        # T: target-level cells per tile side
 
 
-@functools.lru_cache(maxsize=32)
 def build_assignment(shapes: Tuple[Tuple[int, int], ...], level: int,
                      tile: int = TILE) -> TileAssign:
     """Bucket the concatenated all-level raster queries (the encoder token
     order, model.py:258-266) by their center cell in level ``level``."""
+    return _build_assignment_cached(shapes, level, tile)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_assignment_cached(shapes, level, tile):
     h, w = shapes[level]
     cys, cxs = [], []
     for hh, ww in shapes:
@@ -85,7 +97,11 @@ def build_assignment(shapes: Tuple[Tuple[int, int], ...], level: int,
     n_tiles = nty * ntx
     order = np.argsort(tid, kind="stable")
     counts = np.bincount(tid, minlength=n_tiles)
-    s_pad = max(32, -(-int(counts.max()) // 32) * 32)
+    # Lane-align the slot dim: Mosaic rejects the kernel's 2D->3D weight
+    # broadcasts at non-128-multiple lane counts (measured: 96 fails, 128
+    # OK), and VMEM pads lanes to 128 regardless, so slots are free.
+    mx = int(counts.max())
+    s_pad = 32 if mx <= 32 else -(-mx // 128) * 128
     idx = np.zeros((n_tiles, s_pad), np.int32)
     valid = np.zeros((n_tiles, s_pad), bool)
     off = 0
@@ -99,80 +115,54 @@ def build_assignment(shapes: Tuple[Tuple[int, int], ...], level: int,
     return TileAssign(idx, valid, inv, nty, ntx, s_pad, tile)
 
 
-@functools.lru_cache(maxsize=8)
-def _point_sum(spb: int, p: int):
-    """(spb/p, spb) one-hot: row q sums sample rows [q*p, (q+1)*p)."""
-    sq = spb // p
-    ps = np.zeros((sq, spb), np.float32)
-    for qrow in range(sq):
-        ps[qrow, qrow * p:(qrow + 1) * p] = 1.0
-    return ps
-
-
-@functools.lru_cache(maxsize=8)
-def _expand_reduce(win: int, hd: int):
-    """E (win, win*hd): repeat each column weight across its hd lanes.
-    R (win*hd, hd): sum the win strided hd-groups."""
-    e = np.zeros((win, win * hd), np.float32)
-    for x in range(win):
-        e[x, x * hd:(x + 1) * hd] = 1.0
-    r = np.zeros((win * hd, hd), np.float32)
-    for x in range(win):
-        r[x * hd:(x + 1) * hd] += np.eye(hd, dtype=np.float32)
-    return e, r
-
-
-def _chunk(sp: int) -> int:
-    """Largest 128-multiple divisor of sp that is <= 512 (row chunk)."""
+def _qchunk(s: int) -> int:
+    """Largest 128-multiple divisor of s that is <= 512 (query chunk);
+    tiny configs (s = 32) run as one chunk."""
     for c in (512, 384, 256, 128):
-        if sp % c == 0:
+        if s % c == 0:
             return c
-    return sp  # tiny configs (tests): single chunk
+    return s
 
 
-def _kernel(ry_ref, rx_ref, aw_ref, win_ref, e_ref, r_ref, ps_ref, out_ref):
-    """One (tile, batch) program: ALL heads' SP sample rows in row chunks
-    (the per-(tile, head) grid spent ~1.4 us launch cost x tiles x heads —
-    at tile 8 that was a quarter of the level call).
+def _kernel(ry_ref, rx_ref, aw_ref, win_ref, out_ref, *, w3: int, w3x: int,
+            p_pts: int, s: int):
+    """One (tile, batch) program: all heads, query chunks of SQ.
 
-    One-hot interpolation matrices are built TRANSPOSED — (w3, chunk) with
-    samples on lanes — so coords stream as contiguous (1, SP) rows and the
-    MXU contracts their leading dim (transpose_lhs), avoiding the
-    sublane-strided layouts that dominate wall-clock otherwise. The final
-    one-hot matmul ``ps`` sums each query's P consecutive point rows, so the
-    output (and its HBM write) is (S, hd), not (S*P, hd)."""
+    Coordinates arrive point-major — (heads, P*S) with each point's S
+    query slots contiguous — so per-point rows slice contiguously on lanes.
+    The combined weight is accumulated as (W3, W3X, SQ) broadcast products
+    and collapsed to (W3*W3X, SQ) for the single MXU contraction; the
+    output block is (heads, hd, S) — hd on sublanes, queries on lanes."""
     dtype = win_ref.dtype
-    w3 = e_ref.shape[0]
     heads = ry_ref.shape[2]
-    sp = ry_ref.shape[3]
-    spb = _chunk(sp)
-    sq = ps_ref.shape[0]  # query rows per chunk after the P-sum
-    iw = jax.lax.broadcasted_iota(jnp.int32, (w3, spb), 0)
+    sq = _qchunk(s)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (w3, sq), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (w3x, sq), 0)
     dn0 = (((0,), (0,)), ((), ()))  # contract leading dims
 
+    def onehot(iw, r):  # (1, sq) f32 in [0, w3-2] -> (rows, sq) weights
+        r0 = jnp.floor(r)
+        f = r - r0
+        r0i = r0.astype(jnp.int32)
+        return (jnp.where(iw == r0i, 1.0 - f, 0.0)
+                + jnp.where(iw == r0i + 1, f, 0.0)).astype(dtype)
+
     for hh in range(heads):
-        win = win_ref[0, 0, hh]
-        for c in range(sp // spb):
-            sl = pl.ds(c * spb, spb)
-
-            def onehot_t(r):  # (1, spb) f32 in [0, w3-2] -> (w3, spb) weights
-                r0 = jnp.floor(r)
-                f = r - r0
-                r0i = r0.astype(jnp.int32)
-                return (jnp.where(iw == r0i, 1.0 - f, 0.0)
-                        + jnp.where(iw == r0i + 1, f, 0.0)).astype(dtype)
-
-            wy_t = onehot_t(ry_ref[0, 0, hh:hh + 1, sl])
-            wx_t = (onehot_t(rx_ref[0, 0, hh:hh + 1, sl])
-                    * aw_ref[0, 0, hh:hh + 1, sl].astype(dtype))
-            m1 = jax.lax.dot_general(wy_t, win, dn0,
-                                     preferred_element_type=jnp.float32).astype(dtype)
-            wxe = jax.lax.dot_general(wx_t, e_ref[:], dn0,
-                                      preferred_element_type=jnp.float32).astype(dtype)
-            out = jnp.dot(m1 * wxe, r_ref[:],
-                          preferred_element_type=jnp.float32).astype(dtype)
-            outq = jnp.dot(ps_ref[:], out, preferred_element_type=jnp.float32)
-            out_ref[0, 0, hh, pl.ds(c * sq, sq), :] = outq.astype(out_ref.dtype)
+        win = win_ref[0, 0, hh]  # (w3*w3x, hd)
+        for c in range(s // sq):
+            acc = jnp.zeros((w3, w3x, sq), dtype)
+            for p in range(p_pts):
+                sl = pl.ds(p * s + c * sq, sq)
+                wy = onehot(iy, ry_ref[0, 0, hh:hh + 1, sl])
+                wxa = (onehot(ix, rx_ref[0, 0, hh:hh + 1, sl])
+                       * aw_ref[0, 0, hh:hh + 1, sl].astype(dtype))
+                acc = acc + (
+                    jax.lax.broadcast_in_dim(wy, (w3, w3x, sq), (0, 2))
+                    * jax.lax.broadcast_in_dim(wxa, (w3, w3x, sq), (1, 2)))
+            accf = acc.reshape(w3 * w3x, sq)
+            outq = jax.lax.dot_general(win, accf, dn0,
+                                       preferred_element_type=jnp.float32)
+            out_ref[0, 0, hh, :, pl.ds(c * sq, sq)] = outq.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("assign", "h", "w", "interpret"))
@@ -184,42 +174,40 @@ def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
     gx, gy: (B, Q, heads, P) sampling locations in CELL coords (x*W - 0.5)
     aw: (B, Q, heads, P) softmaxed attention weights for this level
     Returns (B, Q, heads, hd) = sum_p aw * bilinear(v, loc); samples outside
-    the tile window contribute 0 (see module docstring).
+    the tile window clamp to its edge (see module docstring).
     """
     b, q, heads, p_pts = gx.shape
     hd = v.shape[-1]
     dtype = v.dtype
     t = assign.tile
     w3 = 3 * t
+    w3x = max(-(-w3 // 16) * 16, w3)  # window cols padded to the sublane tile
     pad = t
     n_tiles = assign.nty * assign.ntx
     s = assign.s_pad
     sp = s * p_pts
-    spb = min(512, sp)
-    # SP must split into equal blocks
-    while sp % spb:
-        spb //= 2
 
     idx = jnp.asarray(assign.idx)
     valid = jnp.asarray(assign.valid)
 
-    # ---- windows: (tiles, B, heads, W3, W3*hd) via static per-tile slices
+    # ---- windows: (tiles, B, heads, W3*W3X, hd) via static per-tile slices
     # (an 8-D shifted-block transpose measured ~7 ms at the (800,1200)
-    # config; 70 static strided copies compile to plain fast DMAs)
+    # config; static strided copies compile to plain fast DMAs). The extra
+    # W3X - W3 columns are never selected (rx clamps to w3 - 2).
     vm = v.reshape(b, h, w, heads, hd).transpose(0, 3, 1, 2, 4)
     vm = vm.reshape(b * heads, h, w, hd)
     vp = jnp.pad(vm, ((0, 0), (pad, assign.nty * t + pad - h),
-                      (pad, assign.ntx * t + pad - w), (0, 0)))
+                      (pad, assign.ntx * t + pad + (w3x - w3) - w), (0, 0)))
     wins = jnp.stack([
         vp[:, ti // assign.ntx * t:ti // assign.ntx * t + w3,
-           ti % assign.ntx * t:ti % assign.ntx * t + w3]
-        for ti in range(n_tiles)])  # (tiles, BH, W3, W3, hd)
-    wins = wins.reshape(n_tiles, b, heads, w3, w3 * hd)
+           ti % assign.ntx * t:ti % assign.ntx * t + w3x]
+        for ti in range(n_tiles)])  # (tiles, BH, W3, W3X, hd)
+    wins = wins.reshape(n_tiles, b, heads, w3 * w3x, hd)
 
-    # ---- coords permuted to tile order: (tiles, B, heads, SP)
-    def permute(a):  # (B, Q, heads, P) -> (tiles, B, heads, SP)
+    # ---- coords permuted to tile order, POINT-major: (tiles, B, heads, P*S)
+    def permute(a):  # (B, Q, heads, P) -> (tiles, B, heads, P*S)
         pa = a[:, idx]  # (B, tiles, S, heads, P)
-        return pa.transpose(1, 0, 3, 2, 4).reshape(n_tiles, b, heads, sp)
+        return pa.transpose(1, 0, 3, 4, 2).reshape(n_tiles, b, heads, sp)
 
     ty0 = (jnp.arange(n_tiles, dtype=jnp.float32) // assign.ntx) * t - pad
     tx0 = (jnp.arange(n_tiles, dtype=jnp.float32) % assign.ntx) * t - pad
@@ -231,42 +219,30 @@ def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
     # zero padding); in-map samples beyond the window clamp to the window
     # edge below (see module docstring)
     inmap = (pgy > -1.0) & (pgy < float(h)) & (pgx > -1.0) & (pgx < float(w))
-    paw = (permute(aw.astype(jnp.float32))
-           * valid[:, None, :, None].repeat(p_pts, -1).reshape(n_tiles, 1, 1, sp)
-           * inmap)
+    pvalid = jnp.broadcast_to(valid[:, None, None, None, :],
+                              (n_tiles, 1, 1, p_pts, s)).reshape(n_tiles, 1, 1, sp)
+    paw = permute(aw.astype(jnp.float32)) * pvalid * inmap
     ry = jnp.clip(ry, 0.0, w3 - 2.0)
     rx = jnp.clip(rx, 0.0, w3 - 2.0)
-
-    e_np, r_np = _expand_reduce(w3, hd)
-    e = jnp.asarray(e_np, dtype)
-    r = jnp.asarray(r_np, dtype)
-    spb = _chunk(sp)
-    ps = jnp.asarray(_point_sum(spb, p_pts), dtype)
 
     coord_spec = pl.BlockSpec((1, 1, heads, sp), lambda i, j: (i, j, 0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, b, heads, s, hd), dtype),
+        functools.partial(_kernel, w3=w3, w3x=w3x, p_pts=p_pts, s=s),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, b, heads, hd, s), dtype),
         grid=(n_tiles, b),
         in_specs=[
             coord_spec, coord_spec, coord_spec,
-            pl.BlockSpec((1, 1, heads, w3, w3 * hd),
+            pl.BlockSpec((1, 1, heads, w3 * w3x, hd),
                          lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w3, w3 * hd), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w3 * hd, hd), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((spb // p_pts, spb), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, heads, s, hd),
+        out_specs=pl.BlockSpec((1, 1, heads, hd, s),
                                lambda i, j: (i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(ry, rx, paw, wins, e, r, ps)
+    )(ry, rx, paw, wins)
 
-    # ---- un-permute back to query order (P-sum happened in-kernel)
-    out = out.transpose(1, 0, 3, 2, 4).reshape(b, n_tiles * s, heads, hd)
+    # ---- un-permute back to query order (P-sum happened in the weights)
+    out = out.transpose(1, 0, 4, 2, 3).reshape(b, n_tiles * s, heads, hd)
     return out[:, jnp.asarray(assign.inv)]

@@ -126,8 +126,9 @@ def ms_deform_attn(
             # through sigma=2-cell offsets (rel err <1%), marginal at
             # sigma=3 (8%), and the full-model check at the same R=7 window
             # geometry and trained-like offset scales shows max box delta
-            # ~1e-6 with top-K overlap 1.00. Tile 16 for L0 measured
-            # +13 ms/forward on a v5e (tools/bench_gdino_ab.py);
+            # ~1e-6 with top-K overlap 1.00. With the combined-2D-weight
+            # kernel, tile 16 (R=15, exact through sigma=4) costs only
+            # +5.6 ms/forward (97.9 -> 103.5, tools/bench_gdino_ab.py) —
             # BFF_DEFORM_TILE1/2=16 restore the wide windows for
             # accuracy-critical runs. Tile 4 (R=3) measured too lossy
             # (31% rel err at sigma=2) — don't.
