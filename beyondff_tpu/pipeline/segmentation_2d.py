@@ -166,15 +166,26 @@ class Segmentor2D:
         if self.cfg.detector.kind == "yolo_world":
             src = image  # raw uint8 frame; boxes already at frame resolution
             sx = sy = 1.0
+
+            def normalize(c):
+                # uint8 * 255 wraps to (-x) mod 256, the reference's quirk
+                return (c * 255).astype(np.uint8)
         else:
             import cv2
 
             from beyondff_tpu.models.gdino.model import IMAGE_MEAN, IMAGE_STD
 
             gh, gw = self.detector.cfg.image_size
-            resized = cv2.resize(image, (gw, gh), interpolation=cv2.INTER_LINEAR)
-            src = (resized.astype(np.float32) / 255.0 - IMAGE_MEAN) / IMAGE_STD
+            src = cv2.resize(image, (gw, gh), interpolation=cv2.INTER_LINEAR)
             sx, sy = gw / w, gh / h
+
+            # normalize per crop, not per frame: identical float ops in the
+            # same order as normalizing the whole frame first, at a fraction
+            # of the host work (the full-frame float pass measured ~10 ms on
+            # the one shared host core)
+            def normalize(c):
+                return (((c.astype(np.float32) / 255.0 - IMAGE_MEAN) / IMAGE_STD)
+                        * 255).astype(np.uint8)
         sh, sw = src.shape[:2]
         crops = []
         for bx0, by0, bx1, by1 in boxes_xyxy:
@@ -183,7 +194,7 @@ class Segmentor2D:
             if x1 <= x0 or y1 <= y0:
                 crops.append(np.zeros((2, 2, 3), np.uint8))
                 continue
-            crops.append((src[y0:y1, x0:x1] * 255).astype(np.uint8))
+            crops.append(normalize(src[y0:y1, x0:x1]))
         return crops
 
     def _clip_sims(self, crops: List[np.ndarray], query: str) -> np.ndarray:
@@ -380,31 +391,60 @@ class Segmentor2D:
         # on every stage in sequence (segmentation_2d.py:243-278).
         pending: List = []  # [(fids, smalls, input_hw, devs, det_handle)]
 
+        # BFF_SEG2D_TRACE=1: per-phase host-blocking seconds, printed per scene
+        trace: Optional[Dict[str, float]] = (
+            {} if os.environ.get("BFF_SEG2D_TRACE") else None)
+
+        def _span(name):
+            import contextlib
+            import time as _time
+
+            if trace is None:
+                return contextlib.nullcontext()
+
+            @contextlib.contextmanager
+            def cm():
+                t0 = _time.perf_counter()
+                try:
+                    yield
+                finally:
+                    trace[name] = trace.get(name, 0.0) + _time.perf_counter() - t0
+
+            return cm()
+
         def dispatch_detection():
             fids = [b[0] for b in buf]
             smalls = [b[1] for b in buf]
             input_hw = buf[0][2]
             devs = [b[3] for b in buf]
-            handle = self.detector.predict_batch_frames_async(
-                _stack_jit(len(devs))(*devs), query)
+            with _span("det_dispatch"):
+                handle = self.detector.predict_batch_frames_async(
+                    _stack_jit(len(devs))(*devs), query)
             pending.append((fids, smalls, input_hw, devs, handle))
             buf.clear()
 
         def complete_pending():
             fids, smalls, input_hw, devs, handle = pending.pop(0)
-            raw = self.detector.predict_finalize(
-                handle, box_threshold=d.box_threshold, text_threshold=d.text_threshold)
-            filtered_all = self._detect_and_filter_batch(smalls, raw, query,
-                                                         frame_hw=frame_hw)
+            with _span("det_finalize"):
+                raw = self.detector.predict_finalize(
+                    handle, box_threshold=d.box_threshold,
+                    text_threshold=d.text_threshold)
+            with _span("filter"):
+                filtered_all = self._detect_and_filter_batch(smalls, raw, query,
+                                                             frame_hw=frame_hw)
             kept, kept_devs = [], []
             for fid, small, filtered, dev in zip(fids, smalls, filtered_all, devs):
                 if filtered is not None:
                     kept.append((fid, small, filtered))
                     kept_devs.append(dev)
             if kept:
-                embs = self.sam.encode_frames(_stack_jit(len(kept_devs))(*kept_devs))
-                masks = self._decode_masks(embs, [k[2] for k in kept], input_hw, frame_hw)
-                emit(kept, masks)
+                with _span("sam_encode_dispatch"):
+                    embs = self.sam.encode_frames(_stack_jit(len(kept_devs))(*kept_devs))
+                with _span("decode_masks"):
+                    masks = self._decode_masks(embs, [k[2] for k in kept],
+                                               input_hw, frame_hw)
+                with _span("emit"):
+                    emit(kept, masks)
 
         # in-flight detection batches: det(t) and det(t+1) queue on device
         # while the host finalizes t-1 — absorbs host-side jitter (JPEG
@@ -440,7 +480,12 @@ class Segmentor2D:
 
         depth = int(os.environ.get("BFF_SEG2D_PREFETCH", "0")) or (
             3 * max(1, d.frame_batch))
-        for item in prefetch_map(load, frame_ids, depth=depth):
+        it = iter(prefetch_map(load, frame_ids, depth=depth))
+        while True:
+            with _span("prefetch_wait"):
+                item = next(it, None)
+            if item is None:
+                break
             buf.append(item)
             if len(buf) == max(1, d.frame_batch):
                 flush()
@@ -448,6 +493,12 @@ class Segmentor2D:
             flush()
         while pending:
             complete_pending()
+        if trace is not None:
+            total = sum(trace.values())
+            parts = " ".join(f"{k}={v * 1000:.0f}ms" for k, v in
+                             sorted(trace.items(), key=lambda kv: -kv[1]))
+            print(f"# seg2d host trace [{scene_id}] total={total * 1000:.0f}ms "
+                  f"({len(frame_ids)} frames): {parts}", flush=True)
         return records
 
 
