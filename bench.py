@@ -166,7 +166,10 @@ def pipeline_wall_clock(models, small):
     from beyondff_tpu.config import Config
     from beyondff_tpu.pipeline.segmentation_2d import Segmentor2D
 
-    n_frames = int(os.environ.get("BFF_BENCH_FRAMES", "24"))
+    # 96 frames x 2 passes x 2 regimes ~= 60-80 s of measurement: long enough
+    # that a transient co-tenant degradation window (CLAUDE.md) can't dominate
+    # the headline the way the old 24-frame (~5 s) spans could
+    n_frames = int(os.environ.get("BFF_BENCH_FRAMES", "96"))
     hit_rate = float(os.environ.get("BFF_BENCH_HIT_RATE", "0.25"))
     boxes_target = int(os.environ.get("BFF_BENCH_BOXES", "4"))
     width, height = (64, 48) if small else (1296, 968)

@@ -4,19 +4,32 @@ SAM's encoder spends most of its time in 14x14-window attention blocks whose
 (S, S) score matrices + rel-pos biases otherwise round-trip through HBM for
 every one of B x windows x heads instances (reference dependency: SAM's
 ``add_decomposed_rel_pos``). This kernel keeps scores, bias, softmax and the
-value matmul in VMEM per (window, head) grid cell.
+value matmul in VMEM per (window-group) grid cell.
 
-The decomposed bias ``bias[q,k] = q[q]·rel_h[yq-yk] + q[q]·rel_w[xq-xk]`` is
-computed in-kernel from two small projections ``Bh = q @ rel_h^T`` /
-``Bw = q @ rel_w^T`` expanded through static banded selection masks — no
-(S, S, D) tables and no dynamic gathers.
+Bias formulation: the decomposed factors are ABSOLUTE-key-indexed —
+``bias[q, (ky, kx)] = bias_h[q, ky] + bias_w[q, kx]`` (models/sam.py
+``_rel_pos_factors``) — so the full (S, S) bias is two rank-``win`` MXU
+dots against static one-hot key-coordinate selectors:
 
-STATUS: experimental, NOT wired into the SAM encoder. On a v5e at SAM ViT-H
-production shape (1600 windows x 196 tokens x 80 dims) this kernel measures
-~14 ms vs ~9 ms for the XLA path — XLA's fusion of these small-window
-attentions is already strong, and the banded bias expansion costs more than
-it saves. Kept as a verified starting point for revisiting with scratch-
-resident band tables / VPU-friendlier bias generation.
+    bias = bias_h @ selY^T + bias_w @ selX^T,  selY[k, ky] = (k // W == ky)
+
+An earlier formulation expanded the bias through 2*win-1 static banded
+(S, S) masks on the VPU; at SAM ViT-H production shape that measured ~14 ms
+vs ~9 ms for XLA (the 54 full-logit VPU passes dominated). The selector-dot
+form replaces them with 2 MXU dots whose K pads into the same 128-lane tile
+as the score dot's K=80 — near-free.
+
+STATUS: experimental, NOT wired into the SAM encoder. Measured on a v5e at
+SAM ViT-H production shape (tools/bench_sam_ab.py, GDINO known-baseline
+re-probe healthy): full encode 113.9 ms with this kernel vs 77.9 ms for the
+XLA windowed path — the per-window (196-pad-256, 80-pad-128) dots are too
+small to fill the MXU from an unrolled per-window loop, while XLA runs the
+whole (windows*heads, S, S) score batch as one batched matmul. A companion
+qkv-hoist restructure (qkv on the unpadded 4096 tokens, windows padded with
+the qkv bias) also measured ~5 ms WORSE than the committed
+partition-then-project path (77.9 vs ~73) — the 3*C-channel window
+partition costs more than the 17% Dense-FLOP saving. Both reverted; kept
+verified (tests/test_kernels.py) as a starting point only.
 """
 
 from __future__ import annotations
@@ -39,8 +52,8 @@ def window_attention_relpos(
     q: jnp.ndarray,  # (G, S, D) with S = win_h * win_w
     k: jnp.ndarray,
     v: jnp.ndarray,
-    rel_h: jnp.ndarray,  # (2*win_h - 1, D)
-    rel_w: jnp.ndarray,  # (2*win_w - 1, D)
+    bias_h: jnp.ndarray,  # (G, S, win_h) decomposed factor, absolute ky index
+    bias_w: jnp.ndarray,  # (G, S, win_w)
     win_h: int,
     win_w: int,
     interpret: bool = False,
@@ -51,54 +64,43 @@ def window_attention_relpos(
     # must tile to 128 lanes or every VPU op on them runs misaligned
     s_pad = ((s + 127) // 128) * 128
     d_pad = ((d + 127) // 128) * 128
-    nh, nw = 2 * win_h - 1, 2 * win_w - 1
-    nh_pad, nw_pad = _round8(nh), _round8(nw)
+    nh_pad, nw_pad = _round8(win_h), _round8(win_w)
     scale = d ** -0.5
     # windows per grid cell: amortizes grid/program overhead
     gb = 8 if g % 8 == 0 else (4 if g % 4 == 0 else (2 if g % 2 == 0 else 1))
 
-    # static banded selection masks: band_h[dy, qi, ki] = (yq - yk + H-1 == dy)
+    # static one-hot key-coordinate selectors (bias = factors @ selectors^T)
     ys = np.arange(s) // win_w
     xs = np.arange(s) % win_w
-    band_h = np.zeros((nh_pad, s_pad, s_pad), np.float32)
-    band_w = np.zeros((nw_pad, s_pad, s_pad), np.float32)
-    dyi = ys[:, None] - ys[None, :] + win_h - 1
-    dxi = xs[:, None] - xs[None, :] + win_w - 1
-    for dd in range(nh):
-        band_h[dd, :s, :s] = dyi == dd
-    for dd in range(nw):
-        band_w[dd, :s, :s] = dxi == dd
+    sel_y = np.zeros((s_pad, nh_pad), np.float32)
+    sel_x = np.zeros((s_pad, nw_pad), np.float32)
+    sel_y[np.arange(s), ys] = 1.0
+    sel_x[np.arange(s), xs] = 1.0
     key_mask = np.zeros((1, s_pad), np.float32)
     key_mask[0, s:] = -1e30
 
     qp = jnp.pad(q, ((0, 0), (0, s_pad - s), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, s_pad - s), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, s_pad - s), (0, d_pad - d)))
-    rhp = jnp.pad(rel_h.astype(q.dtype), ((0, nh_pad - nh), (0, d_pad - d)))
-    rwp = jnp.pad(rel_w.astype(q.dtype), ((0, nw_pad - nw), (0, d_pad - d)))
+    bhp = jnp.pad(bias_h, ((0, 0), (0, s_pad - s), (0, nh_pad - win_h)))
+    bwp = jnp.pad(bias_w, ((0, 0), (0, s_pad - s), (0, nw_pad - win_w)))
 
-    def kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, bh_ref, bw_ref, mask_ref, o_ref):
+    def kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, sy_ref, sx_ref, mask_ref, o_ref):
         for wi in range(gb):
             qq = q_ref[wi]  # (S, D)
             logits = jax.lax.dot_general(
                 qq, k_ref[wi], dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
-            # decomposed rel-pos bias via banded expansion
-            bh = jax.lax.dot_general(  # (S, nh)
-                qq, rh_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            logits = logits + jax.lax.dot_general(
+                bh_ref[wi], sy_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            bw = jax.lax.dot_general(
-                qq, rw_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            logits = logits + jax.lax.dot_general(
+                bw_ref[wi], sx_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            bias = jnp.zeros_like(logits)
-            for dd in range(nh):
-                bias = bias + bh[:, dd][:, None] * bh_ref[dd]
-            for dd in range(nw):
-                bias = bias + bw[:, dd][:, None] * bw_ref[dd]
-            logits = logits + bias + mask_ref[:]
+            logits = logits + mask_ref[:]
             attn = jax.nn.softmax(logits, axis=-1).astype(v_ref.dtype)
             o_ref[wi] = jax.lax.dot_general(
                 attn, v_ref[wi], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -112,10 +114,10 @@ def window_attention_relpos(
             pl.BlockSpec((gb, s_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, s_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, s_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nw_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh_pad, s_pad, s_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nw_pad, s_pad, s_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s_pad, nh_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, s_pad, nw_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, nh_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, nw_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((gb, s_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -126,6 +128,7 @@ def window_attention_relpos(
             transcendentals=g * s_pad * s_pad,
         ),
         interpret=interpret,
-    )(qp, kp, vp, rhp, rwp, jnp.asarray(band_h, q.dtype), jnp.asarray(band_w, q.dtype),
+    )(qp, kp, vp, bhp.astype(q.dtype), bwp.astype(q.dtype),
+      jnp.asarray(sel_y, q.dtype), jnp.asarray(sel_x, q.dtype),
       jnp.asarray(key_mask, jnp.float32))
     return out[:, :s, :d]

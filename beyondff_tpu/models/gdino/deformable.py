@@ -28,21 +28,22 @@ _MATMUL_LEVEL_MAX = 1024
 
 
 def _interp_matmul(v, h, w, b, heads, head_dim, gx, gy, x0, y0, aw, dtype):
-    """Bilinear sampling of a small level via a combined 2D weight matrix.
-
-    Builds, per (query, head), the P-summed bilinear weight over ALL map
-    cells — W2[q, h, (r, c)] = sum_p wy_p[r] * (wx_p * aw_p)[c] — and
-    contracts it against the flat (H*W, hd) level in one matmul per head,
-    the same formulation as the large-level window kernel
-    (kernels/deform_window.py). An earlier separable form (row matmul into a
-    (B, Q, heads, P, W*hd) intermediate, then a column contraction) moved
-    1.24 GB/level-layer through HBM at the (800, 1072) config and measured
-    5.2 ms/call on a v5e; this form's biggest intermediate is
-    (B, Q, heads, H*W) — 5x smaller — and measures ~1.3 ms.
+    """Bilinear sampling via separable row/column weight matmuls.
 
     ``bias-free`` corner handling: a floor index outside [0, size) matches no
-    one-hot row, so out-of-map corners contribute exactly 0 (zero padding —
-    the original CUDA op's border semantics).
+    one-hot row, so out-of-map corners contribute exactly 0 (zero padding).
+    Attention weights fold into the column matrix, so the (B, Q, heads, hd)
+    level contribution comes straight out of the second contraction.
+
+    MEASURED dead end (do not re-attempt without a full-model A/B): a
+    combined-2D-weight form — W2[q, h, (r, c)] = sum_p wy_p[r]*(wx_p*aw_p)[c]
+    then one (Q, H*W) x (H*W, hd) contraction, the window kernel's
+    formulation — profiled 5.2 -> 1.3 ms standalone at encoder shapes but
+    REGRESSED the full GDINO forward 97.9 -> 162.1 ms on a v5e
+    (tools/bench_gdino_ab.py, consistent +62 ms across window variants and
+    the exact-gather config, which also routes small levels here): the VPU
+    outer-product building the (B, Q, heads, H*W) map doesn't fuse with the
+    surrounding enhancer the way the separable one-hot builds do.
     """
     fy = (gy - y0).astype(dtype)
     fx = (gx - x0).astype(dtype)
@@ -56,14 +57,14 @@ def _interp_matmul(v, h, w, b, heads, head_dim, gx, gy, x0, y0, aw, dtype):
           + fx[..., None] * (cols == x0i + 1)).astype(dtype)  # (B,Q,heads,P,W)
     wx = wx * aw[..., None].astype(dtype)  # fold attention weights
 
-    # combined weights: sum the P points' 2x2 footprints into one (H, W) map
-    w2 = jnp.einsum("bqhpr,bqhpc->bqhrc", wy, wx)
-    w2 = w2.reshape(*w2.shape[:-2], h * w)  # (B, Q, heads, H*W)
-    vh = v.reshape(b, h * w, heads, head_dim)
-    # dtype-following accumulation: each output row sums only the P x 2 x 2
-    # nonzero taps, so bf16 accumulation is exact enough, and
+    vh = v.reshape(b, h, w, heads, head_dim).transpose(0, 3, 1, 2, 4)
+    vh = vh.reshape(b, heads, h, w * head_dim)
+    # dtype-following accumulation: each output sums only 2 (rows) x 2 (cols)
+    # bilinear taps per point, so bf16 accumulation is exact enough, and
     # bf16 x bf16 -> f32 dots are unsupported on some CPU backends
-    contrib = jnp.einsum("bqhx,bxhd->bqhd", w2, vh)
+    t = jnp.einsum("bqhpr,bhrx->bqhpx", wy, vh)
+    t = t.reshape(*t.shape[:-1], w, head_dim)
+    contrib = jnp.einsum("bqhpw,bqhpwd->bqhd", wx, t)
     return contrib.astype(dtype)
 
 

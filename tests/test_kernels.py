@@ -67,7 +67,7 @@ def test_flash_attention_small_fallback(rng):
 
 def test_window_attention_relpos_matches_xla(rng):
     from beyondff_tpu.kernels.window_attention import window_attention_relpos
-    from beyondff_tpu.models.sam import _rel_pos_bias
+    from beyondff_tpu.models.sam import _rel_pos_bias, _rel_pos_factors
 
     g, wh, ww, d = 3, 4, 5, 16
     s = wh * ww
@@ -86,9 +86,11 @@ def test_window_attention_relpos_matches_xla(rng):
     w /= w.sum(-1, keepdims=True)
     ref = np.einsum("gqk,gkd->gqd", w, v)
 
+    bias_h, bias_w = _rel_pos_factors((wh, ww), (wh, ww), jnp.asarray(rel_h),
+                                      jnp.asarray(rel_w), jnp.asarray(q))
     out = np.asarray(window_attention_relpos(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(rel_h),
-        jnp.asarray(rel_w), wh, ww, interpret=True))
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), bias_h, bias_w,
+        wh, ww, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
