@@ -130,6 +130,27 @@ def ms_deform_attn(
         x0 = jnp.floor(gx)
         y0 = jnp.floor(gy)
 
+        if use_win and h * w <= _MATMUL_LEVEL_MAX:
+            # Small levels through the SAME tile-window kernel (default on):
+            # the separable matmul-interp path measured 5.28 (L2 25x34) +
+            # 3.27 ms (L3 13x17) per enhancer layer standalone at (800,1072)
+            # — MORE than the large levels' windowed kernels (4.89 + 3.21,
+            # tools/profile_enhancer.py) — because its one-hot contraction
+            # runs at K = H (25/13) against a 128-lane MXU tile. The window
+            # kernel's combined-2D form contracts at K = window cells (768).
+            # Radius semantics are per-LEVEL cells, so tile 8 gives the same
+            # R=7 deviation bound the large levels carry (PARITY.md); for
+            # these maps the window then covers most of the level outright.
+            import os as _os
+
+            if _os.environ.get("BFF_DEFORM_SMALL_KERNEL", "1") != "0":
+                tile = int(_os.environ.get("BFF_DEFORM_TILE_SMALL", "8"))
+                assign = dw.build_assignment(shapes_key, li, tile)
+                out = out + dw.sample_level_windowed(
+                    v, gx, gy, attention_weights[:, :, :, li], assign, h, w,
+                    interpret=interp)
+                continue
+
         if use_win and h * w > _MATMUL_LEVEL_MAX:
             # Both large levels: tile 8 (radius 7 cells). Measured deviation
             # (tools/measure_deform_window.py, PARITY.md): R=7 is near-exact

@@ -61,8 +61,8 @@ def main():
     pm = jnp.ones((1, t_len), bool)
     pos = jnp.zeros((1, t_len), jnp.int32)
 
-    variants = [("tile1=8 tile2=8 (default)", {}),
-                ("tile1=16", {"BFF_DEFORM_TILE1": "16"}),
+    variants = [("tile1=8 tile2=8 small-kernel (default)", {}),
+                ("small levels via matmul-interp", {"BFF_DEFORM_SMALL_KERNEL": "0"}),
                 ("exact gather", {"BFF_DEFORM_WINDOWED": "0"})]
     for name, env in variants:
         old = {k: os.environ.get(k) for k in env}
