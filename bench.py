@@ -73,6 +73,10 @@ def make_scene(root, n_frames, width, height):
     if os.path.exists(marker):
         return
     os.makedirs(color, exist_ok=True)
+    # stale frames/markers from a different n_frames would silently inflate
+    # the scene (process_scene lists the dir) and skew every f/s number
+    for f in os.listdir(color):
+        os.remove(os.path.join(color, f))
     rng = np.random.default_rng(0)
     for i in range(n_frames):
         img = rng.integers(0, 255, (height, width, 3), dtype=np.uint8)

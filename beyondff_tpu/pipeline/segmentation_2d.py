@@ -236,15 +236,19 @@ class Segmentor2D:
             phrases = [phrases[i] for i in order]
         return boxes_xyxy, np.asarray(scores), phrases
 
-    def _detect_and_filter_batch(self, images, raw_dets, query: str, frame_hw=None):
+    def _detect_and_filter_batch(self, images, raw_dets, query: str, frame_hw=None,
+                                 pre=None):
         """Per-frame phrase filter + ONE batched CLIP crop scoring for the
         whole frame batch (the reference encodes crops box by box,
         segmentation_2d.py:383-388) + per-frame top-K. Returns a list of
         (boxes_xyxy, scores, phrases) / None. ``frame_hw``: coordinate frame
-        for the boxes when ``images`` are scaled copies (single-upload path)."""
+        for the boxes when ``images`` are scaled copies (single-upload path).
+        ``pre``: precomputed per-frame phrase-filter results (the pipelined
+        scene driver runs the phrase filter early to pick SAM-encode frames)."""
         d = self.cfg.detector
-        pre = [self._phrase_filter(im, query, det, frame_hw)
-               for im, det in zip(images, raw_dets)]
+        if pre is None:
+            pre = [self._phrase_filter(im, query, det, frame_hw)
+                   for im, det in zip(images, raw_dets)]
         # gate on the config flag, not CLIP availability: YOLO-World mode
         # always loads CLIP (class embeddings) but only filters when asked
         # (reference: segmentation_2d_yolo_world.py:213-224)
@@ -423,28 +427,54 @@ class Segmentor2D:
             pending.append((fids, smalls, input_hw, devs, handle))
             buf.clear()
 
+        # SAM encode dispatches BEFORE the CLIP crop filter (default): the
+        # encoder only needs the frame buffer, so the chip runs ViT-H while
+        # the host builds/normalizes crops — otherwise the chip idles through
+        # that host work. Cost: a frame whose every box the CLIP filter drops
+        # has paid its encode; detection-empty frames (the common miss case)
+        # never encode either way. BFF_SEG2D_EAGER_SAM=0 restores
+        # filter-then-encode.
+        eager_sam = os.environ.get("BFF_SEG2D_EAGER_SAM", "1") != "0"
+
         def complete_pending():
             fids, smalls, input_hw, devs, handle = pending.pop(0)
             with _span("det_finalize"):
                 raw = self.detector.predict_finalize(
                     handle, box_threshold=d.box_threshold,
                     text_threshold=d.text_threshold)
-            with _span("filter"):
-                filtered_all = self._detect_and_filter_batch(smalls, raw, query,
-                                                             frame_hw=frame_hw)
-            kept, kept_devs = [], []
-            for fid, small, filtered, dev in zip(fids, smalls, filtered_all, devs):
-                if filtered is not None:
-                    kept.append((fid, small, filtered))
-                    kept_devs.append(dev)
-            if kept:
+            with _span("phrase_filter"):
+                pre = [self._phrase_filter(im, query, det, frame_hw)
+                       for im, det in zip(smalls, raw)]
+            idx = [i for i, p in enumerate(pre) if p is not None]
+            if not idx:
+                return
+            embs = None
+            if eager_sam:
                 with _span("sam_encode_dispatch"):
-                    embs = self.sam.encode_frames(_stack_jit(len(kept_devs))(*kept_devs))
-                with _span("decode_masks"):
-                    masks = self._decode_masks(embs, [k[2] for k in kept],
-                                               input_hw, frame_hw)
-                with _span("emit"):
-                    emit(kept, masks)
+                    embs = self.sam.encode_frames(
+                        _stack_jit(len(idx))(*[devs[i] for i in idx]))
+            with _span("filter"):
+                filtered_all = self._detect_and_filter_batch(
+                    smalls, raw, query, frame_hw=frame_hw, pre=pre)
+            if embs is None:
+                kept_idx = [i for i in idx if filtered_all[i] is not None]
+                if not kept_idx:
+                    return
+                idx = kept_idx
+                with _span("sam_encode_dispatch"):
+                    embs = self.sam.encode_frames(
+                        _stack_jit(len(idx))(*[devs[i] for i in idx]))
+            empty = (np.zeros((0, 4), np.float32), np.zeros((0,), np.float32), [])
+            dets = [filtered_all[i] if filtered_all[i] is not None else empty
+                    for i in idx]
+            if not any(det[0].shape[0] for det in dets):
+                return
+            with _span("decode_masks"):
+                masks = self._decode_masks(embs, dets, input_hw, frame_hw)
+            with _span("emit"):
+                kept = [(fids[i], smalls[i], filtered_all[i])
+                        for i in idx if filtered_all[i] is not None]
+                emit(kept, [m for m, det in zip(masks, dets) if det[0].shape[0]])
 
         # in-flight detection batches: det(t) and det(t+1) queue on device
         # while the host finalizes t-1 — absorbs host-side jitter (JPEG
