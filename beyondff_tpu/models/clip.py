@@ -164,6 +164,22 @@ class CLIP:
             lambda p, t: self.module.apply(p, t, method=CLIPModule.encode_text)
         )
 
+        def encode_u8_mapped(p, x):
+            # crop batches as lax.map of the batch-1 tower in one dispatch.
+            # MEASURED: unlike the SAM/GDINO encoders (whose XLA fusion
+            # degrades past batch 1 on v5e), the CLIP tower batches WELL —
+            # true batch 6.26/10.93/20.11 ms vs mapped 10.19/15.74/26.77 at
+            # b=4/8/16 (tools/bench_clip_ab.py) — so BFF_CLIP_MAP stays an
+            # off-by-default A/B knob, not a production path
+            def one(fr):
+                return self.module.apply(
+                    p, (fr[None].astype(jnp.float32) / 255.0 - mean) / std,
+                    method=CLIPModule.encode_image)[0]
+
+            return jax.lax.map(one, x)
+
+        self._encode_image_u8_mapped = jax.jit(encode_u8_mapped)
+
     @classmethod
     def create(cls, name_or_cfg="ViT-L/14", seed: int = 0, dtype=jnp.float32,
                device_fill: bool = False) -> "CLIP":
@@ -179,8 +195,12 @@ class CLIP:
     def encode_image(self, images) -> jnp.ndarray:
         """(B, H, W, 3) images -> (B, embed_dim). uint8 inputs normalize on
         device; float inputs are assumed pre-normalized."""
+        import os
+
         x = jnp.asarray(images)
         if x.dtype == jnp.uint8:
+            if x.shape[0] > 1 and os.environ.get("BFF_CLIP_MAP") == "1":
+                return self._encode_image_u8_mapped(self.params, x)
             return self._encode_image_u8(self.params, x)
         return self._encode_image(self.params, x)
 

@@ -199,7 +199,17 @@ class Segmentor2D:
 
     def _clip_sims(self, crops: List[np.ndarray], query: str) -> np.ndarray:
         batch = self.clip.preprocess(crops)
-        feats = np.asarray(self.clip.encode_image(batch), np.float32)
+        # bucket the crop count to the next power of two: detection counts
+        # vary per frame batch, and every distinct batch size would compile a
+        # fresh image-tower program (10s+ each over the remote-compile link)
+        n = batch.shape[0]
+        k = 1
+        while k < n:
+            k *= 2
+        if k > n:
+            batch = np.concatenate(
+                [batch, np.zeros((k - n, *batch.shape[1:]), batch.dtype)])
+        feats = np.asarray(self.clip.encode_image(batch), np.float32)[:n]
         feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
         return feats @ self.query_embedding(query)
 
