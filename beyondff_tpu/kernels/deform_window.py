@@ -165,9 +165,10 @@ def _kernel(ry_ref, rx_ref, aw_ref, win_ref, out_ref, *, w3: int, w3x: int,
             out_ref[0, 0, hh, :, pl.ds(c * sq, sq)] = outq.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("assign", "h", "w", "interpret"))
+@functools.partial(jax.jit, static_argnames=("assign", "h", "w", "radius",
+                                             "interpret"))
 def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
-                          interpret: bool = False):
+                          radius: int = None, interpret: bool = False):
     """One level's deformable-attention contribution, tile-windowed.
 
     v:  (B, H*W, heads, hd) level value slice
@@ -175,14 +176,23 @@ def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
     aw: (B, Q, heads, P) softmaxed attention weights for this level
     Returns (B, Q, heads, hd) = sum_p aw * bilinear(v, loc); samples outside
     the tile window clamp to its edge (see module docstring).
+
+    ``radius``: window margin in target-level cells on each side of the
+    tile — window side = tile + 2*radius; every query's reach is at least
+    radius - 1 cells in every direction. Defaults to ``tile`` (the historic
+    3*tile window). Decoupling lets a LARGER tile keep the same clamp bound:
+    windows overlap less, so the materialized (tiles, heads, W, hd) window
+    array shrinks ~(old_tiles/new_tiles)x while the per-slot VPU/MXU work
+    stays similar.
     """
     b, q, heads, p_pts = gx.shape
     hd = v.shape[-1]
     dtype = v.dtype
     t = assign.tile
-    w3 = 3 * t
+    r = radius if radius is not None else t
+    w3 = t + 2 * r
     w3x = max(-(-w3 // 16) * 16, w3)  # window cols padded to the sublane tile
-    pad = t
+    pad = r
     n_tiles = assign.nty * assign.ntx
     s = assign.s_pad
     sp = s * p_pts

@@ -145,34 +145,40 @@ def ms_deform_attn(
 
             if _os.environ.get("BFF_DEFORM_SMALL_KERNEL", "1") != "0":
                 tile = int(_os.environ.get("BFF_DEFORM_TILE_SMALL", "8"))
+                radius = int(_os.environ.get("BFF_DEFORM_R_SMALL", str(tile)))
                 assign = dw.build_assignment(shapes_key, li, tile)
                 out = out + dw.sample_level_windowed(
                     v, gx, gy, attention_weights[:, :, :, li], assign, h, w,
-                    interpret=interp)
+                    radius=radius, interpret=interp)
                 continue
 
         if use_win and h * w > _MATMUL_LEVEL_MAX:
-            # Both large levels: tile 8 (radius 7 cells). Measured deviation
-            # (tools/measure_deform_window.py, PARITY.md): R=7 is near-exact
-            # through sigma=2-cell offsets (rel err <1%), marginal at
-            # sigma=3 (8%), and the full-model check at the same R=7 window
-            # geometry and trained-like offset scales shows max box delta
-            # ~1e-6 with top-K overlap 1.00. With the combined-2D-weight
-            # kernel, tile 16 (R=15, exact through sigma=4) costs only
-            # +5.6 ms/forward (97.9 -> 103.5, tools/bench_gdino_ab.py) —
-            # BFF_DEFORM_TILE1/2=16 restore the wide windows for
-            # accuracy-critical runs. Tile 4 (R=3) measured too lossy
-            # (31% rel err at sigma=2) — don't.
+            # Both large levels keep minimum reach 7 cells. Measured
+            # deviation (tools/measure_deform_window.py, PARITY.md): R=7 is
+            # near-exact through sigma=2-cell offsets (rel err <1%),
+            # marginal at sigma=3 (8%), and the full-model check at R=7
+            # window geometry and trained-like offset scales shows max box
+            # delta ~1e-6 with top-K overlap 1.00. Wide windows for
+            # accuracy-critical runs: BFF_DEFORM_R1/R2=16 (R=15, exact
+            # through sigma=4; measured ~+6 ms/forward at the old tile-16
+            # coupling). R=3 measured too lossy (31% rel err at sigma=2).
             import os as _os
 
+            # L0 default tile 16 with DECOUPLED radius 8: same minimum reach
+            # (radius-1 = 7 cells) as the historic tile-8/3x window, but 1/4
+            # the tiles so the materialized window array shrinks ~10x —
+            # measured 86.8 -> 80.4 ms full forward (tools/bench_gdino_ab.py;
+            # tile2=16 +3.0 ms and tile1=32 +9.0 ms both regress)
             if h * w == max(sizes):
-                tile = int(_os.environ.get("BFF_DEFORM_TILE1", "8"))
+                tile = int(_os.environ.get("BFF_DEFORM_TILE1", "16"))
+                radius = int(_os.environ.get("BFF_DEFORM_R1", "8"))
             else:
                 tile = int(_os.environ.get("BFF_DEFORM_TILE2", "8"))
+                radius = int(_os.environ.get("BFF_DEFORM_R2", str(tile)))
             assign = dw.build_assignment(shapes_key, li, tile)
             out = out + dw.sample_level_windowed(
                 v, gx, gy, attention_weights[:, :, :, li], assign, h, w,
-                interpret=interp)
+                radius=radius, interpret=interp)
             continue
 
         if h * w <= _MATMUL_LEVEL_MAX:

@@ -75,6 +75,23 @@ def test_windowed_matches_exact_within_radius(rng, level, tile):
     assert np.abs(got).max() > 0  # non-degenerate
 
 
+@pytest.mark.parametrize("tile,radius", [(8, 4), (4, 6)])
+def test_windowed_decoupled_radius_matches_exact(rng, tile, radius):
+    """radius decoupled from tile: offsets within radius-1 cells stay exact
+    regardless of the bucketing tile (window side = tile + 2*radius)."""
+    level = 0
+    value, locs, aw = _setup(rng, max_off=float(radius - 2))
+    v, gx, gy, awl = _level_inputs(value, locs, aw, level)
+    h, w = SHAPES[level]
+    assign = dw.build_assignment(SHAPES, level, tile)
+    got = np.asarray(dw.sample_level_windowed(
+        jnp.asarray(v), jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(awl),
+        assign, h, w, radius=radius, interpret=True))
+    want = _exact_level(value, locs, aw, level)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+    assert np.abs(got).max() > 0
+
+
 def test_windowed_beyond_window_clamps_and_out_of_map_zeroes(rng):
     """Out-of-window handling: samples fully outside the MAP contribute
     exactly 0 (zero-padding parity); in-map samples beyond the window clamp

@@ -61,9 +61,12 @@ def main():
     pm = jnp.ones((1, t_len), bool)
     pos = jnp.zeros((1, t_len), jnp.int32)
 
-    variants = [("tile1=8 tile2=8 small-kernel (default)", {}),
-                ("small levels via matmul-interp", {"BFF_DEFORM_SMALL_KERNEL": "0"}),
-                ("exact gather", {"BFF_DEFORM_WINDOWED": "0"})]
+    variants = [("tile 8 r 8 all levels (default)", {}),
+                ("tile1=16 r1=8", {"BFF_DEFORM_TILE1": "16", "BFF_DEFORM_R1": "8"}),
+                ("tile1=16 r1=8 tile2=16 r2=8",
+                 {"BFF_DEFORM_TILE1": "16", "BFF_DEFORM_R1": "8",
+                  "BFF_DEFORM_TILE2": "16", "BFF_DEFORM_R2": "8"}),
+                ("tile1=32 r1=8", {"BFF_DEFORM_TILE1": "32", "BFF_DEFORM_R1": "8"})]
     for name, env in variants:
         old = {k: os.environ.get(k) for k in env}
         os.environ.update(env)
