@@ -215,10 +215,12 @@ def pipeline_wall_clock(models, small):
         t0 = time.time()
         seg.process_scene("scene0000_00", "clothes")
         log(f"{label}: warmup pass {time.time() - t0:.1f}s")
-        # best of two passes (see timed(): the shared chip can degrade
-        # transiently; min measures the machine)
+        # best of four passes (the shared chip can degrade transiently;
+        # min measures the machine — an r3 run caught BOTH of two hit
+        # passes inside one degradation window, reporting 2.79 f/s where a
+        # re-probe measured 4.65)
         best_dt, records = None, None
-        for _ in range(2):
+        for _ in range(int(os.environ.get("BFF_BENCH_PASSES", "4"))):
             t0 = time.time()
             recs = seg.process_scene("scene0000_00", "clothes")
             dt = time.time() - t0

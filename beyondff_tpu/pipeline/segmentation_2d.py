@@ -520,7 +520,10 @@ class Segmentor2D:
 
         depth = int(os.environ.get("BFF_SEG2D_PREFETCH", "0")) or (
             3 * max(1, d.frame_batch))
-        it = iter(prefetch_map(load, frame_ids, depth=depth))
+        # >1 loader threads let JPEG decode (releases the GIL) overlap the
+        # upload RPC's network wait even on the one-core host
+        workers = int(os.environ.get("BFF_SEG2D_WORKERS", "1"))
+        it = iter(prefetch_map(load, frame_ids, depth=depth, workers=workers))
         while True:
             with _span("prefetch_wait"):
                 item = next(it, None)

@@ -60,18 +60,22 @@ def main():
     seg.process_scene("scene0000_00", "clothes")
     print(f"# warmup {time.time() - t0:.1f}s", flush=True)
     passes = int(os.environ.get("BFF_MISS_PASSES", "4"))
-    times = []
-    for _ in range(passes):
-        t0 = time.time()
-        seg.process_scene("scene0000_00", "clothes")
-        times.append(time.time() - t0)
-        print(f"# pass {times[-1]:.2f}s = {n_frames / times[-1]:.2f} f/s",
-              flush=True)
-    best = min(times)
-    print(f"miss-regime best: {n_frames / best:.2f} f/s "
-          f"(inflight={os.environ.get('BFF_SEG2D_INFLIGHT', 'default')}, "
-          f"prefetch={os.environ.get('BFF_SEG2D_PREFETCH', 'default')}, "
-          f"all={[round(n_frames / t, 2) for t in times]})", flush=True)
+    for workers in os.environ.get("BFF_MISS_WORKERS", "1").split(","):
+        os.environ["BFF_SEG2D_WORKERS"] = workers
+        times = []
+        for _ in range(passes):
+            t0 = time.time()
+            seg.process_scene("scene0000_00", "clothes")
+            times.append(time.time() - t0)
+            print(f"# pass {times[-1]:.2f}s = {n_frames / times[-1]:.2f} f/s",
+                  flush=True)
+        best = min(times)
+        print(f"miss-regime best: {n_frames / best:.2f} f/s "
+              f"(workers={workers}, "
+              f"inflight={os.environ.get('BFF_SEG2D_INFLIGHT', 'default')}, "
+              f"prefetch={os.environ.get('BFF_SEG2D_PREFETCH', 'default')}, "
+              f"all={[round(n_frames / t, 2) for t in times]})", flush=True)
+    os.environ.pop("BFF_SEG2D_WORKERS", None)
 
 
 if __name__ == "__main__":
