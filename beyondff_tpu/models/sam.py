@@ -85,7 +85,17 @@ def _rel_pos_factors(q_hw: Tuple[int, int], k_hw: Tuple[int, int], rel_h, rel_w,
     kh, kw = k_hw
 
     def get(rel, q_size, k_size):
-        # rel: (2*max-1, dim); interpolation not needed when sizes match training
+        # rel: (2*max-1, dim). When the runtime axis is SHORTER than the
+        # table's native size (rect-encode mode, BFF_SAM_RECT: 48 rows
+        # against a 64-grid table), take the CENTRAL slice — each relative
+        # offset keeps its trained embedding (the official code would
+        # linearly resize the table, mapping offsets onto wrong physical
+        # distances; the official model never sees rect inputs, so the
+        # slice is the fidelity-preserving choice).
+        needed = 2 * max(q_size, k_size) - 1
+        if rel.shape[0] > needed:
+            start = (rel.shape[0] - needed) // 2
+            rel = rel[start:start + needed]
         coords = (
             jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
             - jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
@@ -108,12 +118,17 @@ class ViTAttention(nn.Module):
     num_heads: int
     use_rel_pos: bool = True
     input_hw: Tuple[int, int] = (14, 14)
+    # native grid the rel-pos tables are sized for (checkpoint shape); the
+    # runtime grid may be SMALLER on an axis (rect-encode mode) — the factors
+    # then take the central table slice. None -> size by the runtime grid.
+    table_hw: Tuple[int, int] = None
     softmax_f32: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
         b, h, w, c = x.shape
+        th, tw = self.table_hw if self.table_hw is not None else (h, w)
         head_dim = c // self.num_heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x.reshape(b, h * w, c))
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
@@ -146,9 +161,9 @@ class ViTAttention(nn.Module):
                 from beyondff_tpu.kernels import flash_attention as fa
 
                 rel_h = self.param("rel_pos_h", nn.initializers.zeros,
-                                   (2 * h - 1, head_dim))
+                                   (2 * th - 1, head_dim))
                 rel_w = self.param("rel_pos_w", nn.initializers.zeros,
-                                   (2 * w - 1, head_dim))
+                                   (2 * tw - 1, head_dim))
                 bias_h, bias_w = _rel_pos_factors(
                     (h, w), (h, w), rel_h.astype(self.dtype),
                     rel_w.astype(self.dtype), q)
@@ -161,8 +176,8 @@ class ViTAttention(nn.Module):
         # never set in production
         ablate = os.environ.get("BFF_SAM_ABLATE", "")
         if self.use_rel_pos and "norelpos" not in ablate:
-            rel_h = self.param("rel_pos_h", nn.initializers.zeros, (2 * h - 1, head_dim))
-            rel_w = self.param("rel_pos_w", nn.initializers.zeros, (2 * w - 1, head_dim))
+            rel_h = self.param("rel_pos_h", nn.initializers.zeros, (2 * th - 1, head_dim))
+            rel_w = self.param("rel_pos_w", nn.initializers.zeros, (2 * tw - 1, head_dim))
             logits = logits + _rel_pos_bias((h, w), (h, w), rel_h.astype(self.dtype),
                                             rel_w.astype(self.dtype), q)
         if self.softmax_f32:
@@ -180,6 +195,8 @@ class ViTBlock(nn.Module):
     num_heads: int
     window_size: int  # 0 -> global attention
     use_rel_pos: bool = True
+    # native full grid for global blocks' rel-pos tables (checkpoint shape)
+    full_hw: Tuple[int, int] = None
     softmax_f32: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -192,11 +209,14 @@ class ViTBlock(nn.Module):
         if self.window_size > 0:
             x, padded = window_partition(x, self.window_size)
             hw = (self.window_size, self.window_size)
+            table = hw
         else:
             hw = (h0, w0)
+            table = self.full_hw
         if not ("noattn" in ablate and self.window_size > 0):
             x = ViTAttention(self.num_heads, use_rel_pos=self.use_rel_pos,
-                             input_hw=hw, softmax_f32=self.softmax_f32,
+                             input_hw=hw, table_hw=table,
+                             softmax_f32=self.softmax_f32,
                              dtype=self.dtype, name="attn")(x)
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, padded, (h0, w0))
@@ -213,17 +233,21 @@ class ImageEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # (B, S, S, 3) normalized
+    def __call__(self, x):  # (B, H, W, 3) normalized; H, W multiples of patch
         c = self.cfg
         x = nn.Conv(c.encoder_dim, (c.patch_size, c.patch_size), (c.patch_size, c.patch_size),
                     padding="VALID", dtype=self.dtype, name="patch_embed")(x)
         g = c.img_size // c.patch_size
         pos = self.param("pos_embed", nn.initializers.zeros, (1, g, g, c.encoder_dim))
-        x = x + pos.astype(self.dtype)
+        # rect-encode mode feeds a sub-grid (e.g. 48x64 of the 64x64 square):
+        # the top-left pos-embed block is exactly the square path's embedding
+        # for those patches
+        x = x + pos[:, : x.shape[1], : x.shape[2]].astype(self.dtype)
         for i in range(c.encoder_depth):
             win = 0 if i in c.global_attn_indexes else c.window_size
             x = ViTBlock(c.encoder_heads, win, use_rel_pos=c.use_rel_pos,
-                         softmax_f32=c.softmax_f32, dtype=self.dtype, name=f"block{i}")(x)
+                         full_hw=(g, g), softmax_f32=c.softmax_f32,
+                         dtype=self.dtype, name=f"block{i}")(x)
         # neck: 1x1 conv -> LN -> 3x3 conv -> LN, to prompt_dim channels
         x = nn.Conv(c.prompt_dim, (1, 1), use_bias=False, dtype=self.dtype, name="neck_conv1")(x)
         x = nn.LayerNorm(dtype=self.dtype, name="neck_ln1")(x)
@@ -258,12 +282,17 @@ class PromptEncoder(nn.Module):
         emb = emb.at[:, 1].add(self.point_embeddings[3].astype(self.dtype))
         return emb  # (B, 2, d)
 
-    def dense_pe(self):
+    def dense_pe(self, gh: int = None, gw: int = None):
+        """Positional grid for a (gh, gw) embedding — coordinates stay
+        normalized by the FULL square grid, so a rect sub-grid (rect-encode
+        mode) gets exactly the square path's positions for those cells."""
         g = self.cfg.img_size // self.cfg.patch_size
-        ys = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
-        xs = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
-        grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (g, g, 2)
-        return self._pe(grid)  # (g, g, d)
+        gh = g if gh is None else gh
+        gw = g if gw is None else gw
+        ys = (jnp.arange(gh, dtype=jnp.float32) + 0.5) / g
+        xs = (jnp.arange(gw, dtype=jnp.float32) + 0.5) / g
+        grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (gh, gw, 2)
+        return self._pe(grid)  # (gh, gw, d)
 
     def no_mask_embedding(self):
         return self.no_mask
@@ -352,9 +381,9 @@ class MaskDecoder(nn.Module):
             [jnp.broadcast_to(jnp.concatenate([iou_token, mask_tokens], 0).astype(self.dtype),
                               (b, 1 + n_masks, d)), sparse_prompt], axis=1)
 
-        g = image_emb.shape[0]
-        src = jnp.broadcast_to(image_emb.reshape(1, g * g, d), (b, g * g, d))
-        pos = jnp.broadcast_to(image_pe.reshape(1, g * g, d), (b, g * g, d))
+        gh, gw = image_emb.shape[0], image_emb.shape[1]
+        src = jnp.broadcast_to(image_emb.reshape(1, gh * gw, d), (b, gh * gw, d))
+        pos = jnp.broadcast_to(image_pe.reshape(1, gh * gw, d), (b, gh * gw, d))
 
         q, k = tokens, src
         for i in range(c.decoder_depth):
@@ -369,7 +398,7 @@ class MaskDecoder(nn.Module):
         mask_out = q[:, 1 : 1 + n_masks]
 
         # upscale image features 4x with two transposed convs
-        img = k.reshape(b, g, g, d)
+        img = k.reshape(b, gh, gw, d)
         img = nn.ConvTranspose(d // 4, (2, 2), (2, 2), transpose_kernel=True, dtype=self.dtype, name="up1")(img)
         img = nn.LayerNorm(dtype=self.dtype, name="up_ln")(img)
         img = _gelu_exact(img)
@@ -411,7 +440,7 @@ class SAMModule(nn.Module):
         """image_emb: (g, g, d); boxes: (B, 4). Single-mask output (the
         reference's multimask_output=False path, segmentation_2d.py:183-188)."""
         sparse = self.prompt.encode_boxes(boxes)
-        dense_pe = self.prompt.dense_pe()
+        dense_pe = self.prompt.dense_pe(image_emb.shape[0], image_emb.shape[1])
         no_mask = self.prompt.no_mask_embedding().astype(self.dtype)
         image_emb = image_emb + no_mask[None, None, :]
         masks, iou = self.decoder(image_emb, dense_pe, sparse)
@@ -444,13 +473,25 @@ class SAM:
 
         def encode_frames_u8(p, fr):
             # single-upload path: unpadded uint8 frames pad + normalize on
-            # device; the padded region must be exactly 0 after normalization
+            # device; the padded region must be exactly 0 after normalization.
+            # BFF_SAM_RECT=1: pad only to the patch multiple instead of the
+            # full square — for ScanNet frames (1024x765 scaled) that encodes
+            # 48x64 patches instead of 64x64 (-25% encoder compute). The
+            # dropped rows are pure zero-pad content; deviation = their
+            # absence from global-attention softmax + boundary windows
+            # (measured in tools/measure_sam_rect.py, PARITY.md).
             b, nh, nw, _ = fr.shape
             s_img = self.cfg.img_size
-            x = jnp.pad(fr, ((0, 0), (0, s_img - nh), (0, s_img - nw), (0, 0)))
+            patch = self.cfg.patch_size
+            if os.environ.get("BFF_SAM_RECT") == "1":
+                ph = min(-(-nh // patch) * patch, s_img)
+                pw = min(-(-nw // patch) * patch, s_img)
+            else:
+                ph = pw = s_img
+            x = jnp.pad(fr, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)))
             x = (x.astype(jnp.float32) - mean) / std
-            rows = jnp.arange(s_img) < nh
-            cols = jnp.arange(s_img) < nw
+            rows = jnp.arange(ph) < nh
+            cols = jnp.arange(pw) < nw
             x = x * (rows[:, None] & cols[None, :])[None, :, :, None]
             n_dev = len(jax.devices())
             if b > 1 and not (n_dev > 1 and b % n_dev == 0):
@@ -556,10 +597,14 @@ class SAM:
         iou (B, K)); unpack with np.unpackbits(..., bitorder="little").
         """
         b, k = embs.shape[0], boxes.shape[1]
-        key = (b, k, tuple(input_hw), tuple(orig_hw))
+        key = (b, k, embs.shape[1], embs.shape[2], tuple(input_hw), tuple(orig_hw))
         fn = self._packed_cache.get(key)
         if fn is None:
-            s = self.cfg.img_size
+            # upsample target follows the embedding grid (rect-encode mode
+            # yields a (gh, gw) sub-grid of the square; gh*patch rows cover
+            # input_hw exactly like the square path's s rows do)
+            sh = embs.shape[1] * self.cfg.patch_size
+            sw = embs.shape[2] * self.cfg.patch_size
             hh, ww = orig_hw
             n = hh * ww
             n8 = -(-n // 8) * 8
@@ -568,8 +613,8 @@ class SAM:
                 def one(e1, b1):
                     return self.module.apply(p, e1, b1, method=SAMModule.decode_boxes)
 
-                low, iou = jax.vmap(one)(e, bx)  # (B, K, 4g, 4g)
-                x = jax.image.resize(low, (b, k, s, s), "bilinear")
+                low, iou = jax.vmap(one)(e, bx)  # (B, K, 4gh, 4gw)
+                x = jax.image.resize(low, (b, k, sh, sw), "bilinear")
                 x = x[:, :, : input_hw[0], : input_hw[1]]
                 x = jax.image.resize(x, (b, k, hh, ww), "bilinear")
                 flat = (x > 0).reshape(b, k, n)

@@ -99,3 +99,56 @@ def test_encode_frames_matches_preprocess_path(rng):
         smalls.append(small)
     got = np.asarray(sam.encode_frames(jnp.stack(smalls)))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_rect_encode_full_size_matches_square(rng, monkeypatch):
+    """BFF_SAM_RECT with a full-square input takes the identical program —
+    exact equality with the square path."""
+    import jax.numpy as jnp
+
+    from beyondff_tpu.models import sam as sam_mod
+
+    s = sam_mod.PRESETS["test"].img_size
+    frames = rng.integers(0, 255, (1, s, s, 3), dtype=np.uint8)
+    sam_sq = sam_mod.SAM.create("test", seed=0)
+    ref = np.asarray(sam_sq.encode_frames(jnp.asarray(frames)))
+    monkeypatch.setenv("BFF_SAM_RECT", "1")
+    sam_r = sam_mod.SAM.create("test", seed=0)
+    got = np.asarray(sam_r.encode_frames(jnp.asarray(frames)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_rect_encode_end_to_end(rng, monkeypatch):
+    """Rect mode on a non-square frame: sub-grid embedding, rect decode, and
+    the valid-region output stays close to the square path (the deviation is
+    only pad-token participation in attention)."""
+    import jax.numpy as jnp
+
+    from beyondff_tpu.models import sam as sam_mod
+
+    h, w = 30, 41  # scale_frame -> (47, 64) long-side-64 for the test preset
+    frames = rng.integers(0, 255, (1, h, w, 3), dtype=np.uint8)
+    sam_sq = sam_mod.SAM.create("test", seed=0)
+    small, input_hw = sam_sq.scale_frame(frames[0])
+    dev = jnp.asarray(small[None])
+    emb_sq = np.asarray(sam_sq.encode_frames(dev))
+
+    monkeypatch.setenv("BFF_SAM_RECT", "1")
+    sam_r = sam_mod.SAM.create("test", seed=0)
+    emb_r = np.asarray(sam_r.encode_frames(dev))
+    patch = sam_r.cfg.patch_size
+    gh = -(-input_hw[0] // patch)
+    gw = -(-input_hw[1] // patch)
+    assert emb_r.shape[1:3] == (gh, gw)
+    assert np.isfinite(emb_r).all()
+    # valid-region deviation bounded (random weights; pad tokens carry only
+    # the normalized-zero constant)
+    ref = emb_sq[:, :gh, :gw]
+    rel = np.linalg.norm(emb_r - ref) / (np.linalg.norm(ref) + 1e-12)
+    assert rel < 0.5, rel
+
+    boxes = np.array([[[2.0, 2.0, 40.0, 28.0], [5.0, 8.0, 60.0, 40.0]]],
+                     np.float32)
+    packed, iou = sam_r.decode_boxes_packed(emb_r, boxes, input_hw, (h, w))
+    assert np.asarray(packed).shape == (1, 2, -(-h * w // 8))
+    assert np.isfinite(np.asarray(iou)).all()
