@@ -193,3 +193,57 @@ def test_projection_lifts_out_of_listing_detections(tmp_path):
     cfg = Config.from_yaml(cfg_path).override(**{"frames.downsample_ratio": 3})
     results = projection.run(cfg, "clothes", resume=False)
     assert results[0]["instances"] == 2
+
+
+def test_full_chain_seg2d_to_eval(tmp_path):
+    """FULL 4-stage chain: seg2d (test GDINO+SAM, random weights) writes the
+    2D-mask contract, projection lifts THOSE outputs, refinement fuses with
+    stage-1, evaluation consumes the result — exercising every stage-to-stage
+    contract through the real writers/readers in one run (the reference's
+    run_evl.py:56-96 chain)."""
+    import make_synthetic_scene
+
+    from beyondff_tpu.pipeline import segmentation_2d
+
+    root = str(tmp_path / "scene")
+    cfg = Config.from_yaml(make_synthetic_scene.generate(
+        root, query="clothes", scenes=1, seed=11))
+    cfg = cfg.override(**{
+        # fresh dirs so seg2d's own outputs (not the GT-perfect fixture
+        # masks) feed projection
+        "paths.mask_2d_dir": str(tmp_path / "mask2d"),
+        "paths.mask_3d_dir": str(tmp_path / "mask3d"),
+        "paths.final_output_dir": str(tmp_path / "final"),
+        "paths.checkpoint_dir": str(tmp_path / "ckpt"),
+        "paths.results_dir": str(tmp_path / "results"),
+        # random-weight detector: keep everything above threshold, no
+        # phrase/CLIP gating, few boxes
+        "detector.box_threshold": -1.0,
+        "detector.must_match_query": False,
+        "detector.filter_with_clip": False,
+        "detector.max_detections": 2,
+    })
+    seg_results = segmentation_2d.run(cfg, "clothes", resume=False)
+    assert len(seg_results) == 1
+    out2d = os.path.join(cfg.paths.mask_2d_dir, "clothes", "scene0000_00.pth")
+    assert os.path.exists(out2d)
+    records = bio.load_frame_records(out2d)
+    assert records, "random-weight detector produced no detections"
+    for r in records:
+        assert set(r) >= {"frame_id", "segmented_frame_masks", "confidences", "labels"}
+
+    assert len(projection.run(cfg, "clothes", resume=False)) == 1
+    out3d = os.path.join(cfg.paths.mask_3d_dir, "clothes", "scene0000_00.pth")
+    d3 = bio.load_stage_dict(out3d)
+    ins = np.asarray(d3["ins"])
+    assert ins.dtype == bool and ins.ndim == 2
+
+    assert len(refinement.run(cfg, "clothes")) == 1
+    final = bio.load_stage_dict(
+        os.path.join(cfg.paths.final_output_dir, "clothes", "scene0000_00.pth"))
+    assert np.asarray(final["ins"]).dtype == bool
+    assert np.asarray(final["conf"]).dtype == np.float32
+
+    avgs = evaluate.run(cfg, "clothes", verbose=False)
+    ap = avgs["classes"]["clothes"]["ap"]
+    assert np.isfinite(ap) or np.isnan(ap)  # random boxes: any valid AP value
