@@ -71,6 +71,13 @@ class DetectorConfig:
     filter_with_clip: bool = True
     descriptor_generator: str = "waffle"  # toy | waffle | gpt | waffle_and_gpt
     waffle_word_list_path: str = "./beyondff_tpu/pipeline/waffle_words.json"
+    # gpt descriptor backend: any OpenAI-compatible /chat/completions API
+    # (reference hardcodes the openai SDK + gpt-3.5-turbo,
+    # descriptor_generator.py:107-130). Empty endpoint -> the `llm` callable
+    # must be injected programmatically.
+    llm_endpoint: str = ""  # e.g. https://api.openai.com/v1
+    llm_model: str = "gpt-3.5-turbo"
+    llm_api_key_env: str = "OPENAI_API_KEY"
     clip_model_size: str = "ViT-L/14"
     similarity_threshold: float = 0.2
     # phrase filtering; must_match_class, when set, is matched against the

@@ -47,7 +47,7 @@ always use the exact path.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -168,7 +168,7 @@ def _kernel(ry_ref, rx_ref, aw_ref, win_ref, out_ref, *, w3: int, w3x: int,
 @functools.partial(jax.jit, static_argnames=("assign", "h", "w", "radius",
                                              "interpret"))
 def sample_level_windowed(v, gx, gy, aw, assign: TileAssign, h: int, w: int,
-                          radius: int = None, interpret: bool = False):
+                          radius: Optional[int] = None, interpret: bool = False):
     """One level's deformable-attention contribution, tile-windowed.
 
     v:  (B, H*W, heads, hd) level value slice

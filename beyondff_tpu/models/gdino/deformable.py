@@ -170,8 +170,14 @@ def ms_deform_attn(
             # measured 86.8 -> 80.4 ms full forward (tools/bench_gdino_ab.py;
             # tile2=16 +3.0 ms and tile1=32 +9.0 ms both regress)
             if h * w == max(sizes):
-                tile = int(_os.environ.get("BFF_DEFORM_TILE1", "16"))
-                radius = int(_os.environ.get("BFF_DEFORM_R1", "8"))
+                tile1_env = _os.environ.get("BFF_DEFORM_TILE1")
+                tile = int(tile1_env) if tile1_env is not None else 16
+                # Radius defaults to the tile when TILE1 is set explicitly
+                # (same rule as R2/R_SMALL, so BFF_DEFORM_TILE1=16 alone gives
+                # the wide R=15-reach window); only the built-in tile-16
+                # default keeps the measured radius-8 geometry.
+                default_r1 = str(tile) if tile1_env is not None else "8"
+                radius = int(_os.environ.get("BFF_DEFORM_R1", default_r1))
             else:
                 tile = int(_os.environ.get("BFF_DEFORM_TILE2", "8"))
                 radius = int(_os.environ.get("BFF_DEFORM_R2", str(tile)))

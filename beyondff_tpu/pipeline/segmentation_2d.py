@@ -138,8 +138,14 @@ class Segmentor2D:
         (compute_avg_description_encodings, segmentation_2d.py:324-337)."""
         if query in self._query_embedding_cache:
             return self._query_embedding_cache[query]
+        llm = None
+        if "gpt" in self.cfg.detector.descriptor_generator:
+            from beyondff_tpu.pipeline import llm_client
+
+            llm = llm_client.from_config(self.cfg.detector)
         variants = descriptors.generate(
-            query, self.cfg.detector.descriptor_generator, seed=self.cfg.seed
+            query, self.cfg.detector.descriptor_generator, seed=self.cfg.seed,
+            llm=llm,
         )[query]
         toks = self.clip_tokenizer(variants)
         feats = np.array(self.clip.encode_text(toks), np.float32)
@@ -466,25 +472,28 @@ class Segmentor2D:
             with _span("filter"):
                 filtered_all = self._detect_and_filter_batch(
                     smalls, raw, query, frame_hw=frame_hw, pre=pre)
+            kept_idx = [i for i in idx if filtered_all[i] is not None]
+            if not kept_idx:
+                return
             if embs is None:
-                kept_idx = [i for i in idx if filtered_all[i] is not None]
-                if not kept_idx:
-                    return
                 idx = kept_idx
                 with _span("sam_encode_dispatch"):
                     embs = self.sam.encode_frames(
                         _stack_jit(len(idx))(*[devs[i] for i in idx]))
-            empty = (np.zeros((0, 4), np.float32), np.zeros((0,), np.float32), [])
-            dets = [filtered_all[i] if filtered_all[i] is not None else empty
-                    for i in idx]
-            if not any(det[0].shape[0] for det in dets):
-                return
+            elif len(kept_idx) < len(idx):
+                # narrow the eager-encoded embeddings to frames that still
+                # have boxes after the CLIP filter: an entirely-dropped frame
+                # has paid its (intended) eager encode, but keeping it in the
+                # decode batch would run the SAM decoder on k zero boxes
+                pos = [j for j, i in enumerate(idx) if filtered_all[i] is not None]
+                embs = embs[np.asarray(pos)]
+                idx = kept_idx
+            dets = [filtered_all[i] for i in idx]
             with _span("decode_masks"):
                 masks = self._decode_masks(embs, dets, input_hw, frame_hw)
             with _span("emit"):
-                kept = [(fids[i], smalls[i], filtered_all[i])
-                        for i in idx if filtered_all[i] is not None]
-                emit(kept, [m for m, det in zip(masks, dets) if det[0].shape[0]])
+                kept = [(fids[i], smalls[i], filtered_all[i]) for i in idx]
+                emit(kept, masks)
 
         # in-flight detection batches: det(t) and det(t+1) queue on device
         # while the host finalizes t-1 — absorbs host-side jitter (JPEG

@@ -105,3 +105,37 @@ def test_prefetch_map_workers_propagate_errors():
 
     with pytest.raises(ValueError):
         list(prefetch_map(boom, range(10), depth=2, workers=3))
+
+
+def test_mfu_cost_analysis_matmul():
+    """XLA cost analysis drives the MFU accounting: a (512,512)@(512,512)
+    matmul is exactly 2*512^3 FLOPs; utilization math follows from it."""
+    import jax.numpy as jnp
+
+    from beyondff_tpu.utils import mfu
+
+    a = jnp.ones((512, 512), jnp.float32)
+    cost = mfu.program_cost(lambda x, y: x @ y, a, a)
+    assert cost is not None
+    assert cost.flops == 2 * 512**3
+    assert cost.bytes_accessed > 0
+    rec = mfu.summarize("mm", cost, seconds=1e-3)
+    assert rec["gflop"] == round(2 * 512**3 / 1e9, 2)
+    assert 0 < rec["mfu"] < 1  # nominal CPU peak keeps this in range
+    line = mfu.describe("mm", cost, 1e-3)
+    assert "MFU" in line and "bound" in line
+    # degenerate inputs stay reportable
+    assert "n/a" in mfu.describe("none", None, 1.0)
+    assert mfu.summarize("none", None, 1.0)["mfu"] is None
+
+
+def test_mfu_chip_peaks_lookup():
+    from beyondff_tpu.utils import mfu
+
+    class FakeDev:
+        device_kind = "TPU v5e"
+
+    f, b = mfu.chip_peaks(FakeDev())
+    assert f == 197e12 and b == 819e9
+    f, b = mfu.chip_peaks(type("D", (), {"device_kind": "TPU v4"})())
+    assert f == 275e12
