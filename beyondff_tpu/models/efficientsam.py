@@ -57,6 +57,11 @@ class EfficientSAM(SAM):
         Returns (masks (B, 4g, 4g) logits, best predicted IoU (B,))."""
         return self._decode_multi(self.params, embedding, jnp.asarray(boxes, jnp.float32))
 
+    def _box_decode_method(self):
+        # the packed batch decode picks the best-of-multimask output too, so
+        # the pipelined driver matches the reference's per-box selection
+        return _decode_boxes_multi
+
 
 def _decode_boxes_multi(module: sam_mod.SAMModule, image_emb, boxes):
     sparse = module.prompt.encode_boxes(boxes)

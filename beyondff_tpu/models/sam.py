@@ -584,6 +584,13 @@ class SAM:
         Returns (low-res mask logits (B, 4g, 4g), iou predictions (B,))."""
         return self._decode(self.params, embedding, jnp.asarray(boxes, jnp.float32))
 
+    def _box_decode_method(self):
+        """Module method used by the packed batch decode; EfficientSAM
+        overrides this with its best-of-multimask selection (reference picks
+        the highest-predicted-IoU of 3 masks per box,
+        segmentation_2d_yolo_world.py:243-286)."""
+        return SAMModule.decode_boxes
+
     def decode_boxes_packed(self, embs, boxes, input_hw: Tuple[int, int],
                             orig_hw: Tuple[int, int]):
         """Batched decode for a whole frame batch, postprocessed and
@@ -609,9 +616,11 @@ class SAM:
             n = hh * ww
             n8 = -(-n // 8) * 8
 
+            decode_method = self._box_decode_method()
+
             def packed_fn(p, e, bx):
                 def one(e1, b1):
-                    return self.module.apply(p, e1, b1, method=SAMModule.decode_boxes)
+                    return self.module.apply(p, e1, b1, method=decode_method)
 
                 low, iou = jax.vmap(one)(e, bx)  # (B, K, 4gh, 4gw)
                 x = jax.image.resize(low, (b, k, sh, sw), "bilinear")

@@ -302,6 +302,36 @@ class YOLOWorld:
         self._nms = jax.jit(nms_fixed, static_argnames=("top_k",))
         self._text_cache = {}
 
+        # fused frame-batch program for the pipelined seg2d driver: device
+        # resize (frames upload once, EfficientSAM-scaled) -> forward -> NMS
+        # -> packed (B, K, 6) rows [score | xyxy(det-space) | cls] so one
+        # download finalizes the whole batch (mirrors GDINO's
+        # _forward_topk_frames; the reference's YOLO path runs per frame with
+        # host-side supervision NMS, segmentation_2d_yolo_world.py:195-210)
+        h, w = cfg.img_size
+        k = cfg.max_dets
+
+        def fwd_frames_topk(p, frames_u8, txt, nms_iou):
+            b = frames_u8.shape[0]
+            x = jax.image.resize(frames_u8.astype(jnp.float32), (b, h, w, 3),
+                                 "bilinear", antialias=False) / 255.0
+            boxes, logits = self.module.apply(p, x, txt)
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+            cls_id = jnp.argmax(probs, -1)
+            scores = jnp.max(probs, -1)
+
+            def one(bx, sc, ci):
+                keep_idx, valid = nms_fixed(bx, sc, nms_iou, k)
+                return jnp.concatenate([
+                    jnp.where(valid, sc[keep_idx], -1.0)[:, None],
+                    bx[keep_idx],
+                    ci[keep_idx].astype(jnp.float32)[:, None],
+                ], axis=-1)  # (K, 6)
+
+            return jax.vmap(one)(boxes, scores, cls_id)
+
+        self._forward_frames_topk = jax.jit(fwd_frames_topk)
+
     @classmethod
     def create(cls, name_or_cfg="l", seed: int = 0, dtype=jnp.float32) -> "YOLOWorld":
         from beyondff_tpu.models.init_utils import fast_init
@@ -367,6 +397,45 @@ class YOLOWorld:
         out = np.clip(np.stack([cx, cy, bw, bh], 1), 0, 1)
         phrases = [classes[i] for i in cls_id]
         return out, scores, phrases
+
+    # ------------------------------------------------ pipelined frame path
+    def predict_batch_frames_async(self, frames_dev, caption: str,
+                                   nms_iou: float = 0.5):
+        """Dispatch-only detection on an already-uploaded uint8 frame buffer
+        (any resolution; device-resized to the detector input). Same contract
+        as ``GroundingDINO.predict_batch_frames_async`` so the seg2d driver's
+        software pipeline (in-flight batches, eager SAM encode) serves this
+        detector too. Finish with :meth:`predict_finalize`."""
+        classes = [c.strip() for c in caption.rstrip(".").split(".") if c.strip()]
+        txt = self.class_embeddings(classes)
+        packed = self._forward_frames_topk(self.params, frames_dev,
+                                           jnp.asarray(txt), nms_iou)
+        return packed, classes
+
+    def predict_finalize(self, handle, box_threshold: float = 0.02,
+                         text_threshold: float = 0.0):
+        """Host half of an async detection: one packed download + threshold.
+        Returns per-frame (boxes normalized cxcywh, scores, phrases), the
+        same math as :meth:`predict` (NMS-padding rows carry score -1 and
+        fail any threshold)."""
+        packed_d, classes = handle
+        packed = np.asarray(packed_d, np.float32)  # (B, K, 6)
+        hh, ww = self.cfg.img_size
+        out = []
+        for row in packed:
+            sel = row[:, 0] > box_threshold
+            scores = row[sel, 0]
+            boxes = row[sel, 1:5]
+            cls_id = row[sel, 5].astype(np.int64)
+            boxes[:, [0, 2]] /= ww
+            boxes[:, [1, 3]] /= hh
+            cx = (boxes[:, 0] + boxes[:, 2]) / 2
+            cy = (boxes[:, 1] + boxes[:, 3]) / 2
+            bw = boxes[:, 2] - boxes[:, 0]
+            bh = boxes[:, 3] - boxes[:, 1]
+            cxcywh = np.clip(np.stack([cx, cy, bw, bh], 1), 0, 1)
+            out.append((cxcywh, scores, [classes[i] for i in cls_id]))
+        return out
 
 
 # --------------------------------------------------------------- conversion

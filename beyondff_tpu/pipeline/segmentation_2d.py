@@ -170,8 +170,12 @@ class Segmentor2D:
         reference's aspect-preserving short-side-800 resize (PARITY.md)."""
         h, w = frame_hw if frame_hw is not None else image.shape[:2]
         if self.cfg.detector.kind == "yolo_world":
-            src = image  # raw uint8 frame; boxes already at frame resolution
-            sx = sy = 1.0
+            # raw uint8 frame; in the single-upload pipeline the crop source
+            # is the (EfficientSAM-scaled) frame buffer while boxes stay at
+            # frame resolution — scale the crop coordinates to the source
+            src = image
+            sx = src.shape[1] / w
+            sy = src.shape[0] / h
 
             def normalize(c):
                 # uint8 * 255 wraps to (-x) mod 256, the reference's quirk
@@ -374,8 +378,8 @@ class Segmentor2D:
         frame_hw = (self.cfg.frames.height_2d, self.cfg.frames.width_2d)
         frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id,
                                           self.cfg.frames.downsample_ratio)
-        device_frames = (d.device_frames and d.kind != "yolo_world"
-                         and hasattr(self.detector, "predict_batch_frames")
+        device_frames = (d.device_frames
+                         and hasattr(self.detector, "predict_batch_frames_async")
                          and hasattr(self.sam, "encode_frames"))
 
         def load(fid):

@@ -174,3 +174,56 @@ def test_process_scene_device_frames_runs(tmp_path, monkeypatch):
         assert len(r["confidences"]) == m.shape[0] == len(r["labels"])
     recs_host = run(False)
     assert len(recs_host) == 4
+
+
+def test_yolo_async_frame_path_matches_predict():
+    """predict_batch_frames_async+finalize must equal predict() when the
+    uploaded frame is already at the detector input resolution (the device
+    resize is then the identity): same forward, same fixed-shape NMS."""
+    import jax.numpy as jnp
+
+    from beyondff_tpu.models import yolo_world
+
+    yw = yolo_world.YOLOWorld.create("test")
+    h, w = yw.cfg.img_size
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    boxes, scores, phrases = yw.predict(img, "clothes.", box_threshold=0.0)
+    out = yw.predict_finalize(
+        yw.predict_batch_frames_async(jnp.asarray(img[None]), "clothes."),
+        box_threshold=0.0)
+    (b2, s2, p2) = out[0]
+    assert p2 == list(phrases)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(scores), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(boxes),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_yolo_process_scene_device_frames(tmp_path):
+    """YOLO-World + EfficientSAM now takes the pipelined single-upload path
+    (async detection, eager encode, packed best-of-3 decode) and still emits
+    well-formed stage records."""
+    import cv2
+
+    rng = np.random.default_rng(7)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(4):
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    cfg = Config.from_dict({
+        "paths": {"scene_2d_dir": str(tmp_path)},
+        "frames": {"width_2d": 64, "height_2d": 48, "downsample_ratio": 1},
+        "detector": {"kind": "yolo_world", "box_threshold": -1.0,
+                     "must_match_query": False, "similarity_threshold": -10.0,
+                     "max_detections": 4, "dtype": "float32", "frame_batch": 2,
+                     "filter_with_clip": False},
+    })
+    seg = Segmentor2D(cfg)
+    assert hasattr(seg.detector, "predict_batch_frames_async")
+    recs = seg.process_scene("scene0000_00", "clothes")
+    assert len(recs) == 4
+    for r in recs:
+        m = np.asarray(r["segmented_frame_masks"])
+        assert m.shape[1:] == (1, 48, 64) and m.dtype == bool
+        assert len(r["confidences"]) == m.shape[0] == len(r["labels"])
