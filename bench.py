@@ -85,9 +85,14 @@ def make_scene(root, n_frames, width, height):
 
 
 def device_compute(models, iters):
-    """Round-1-comparable per-model steady forwards at fixed shapes."""
+    """Round-1-comparable per-model steady forwards at fixed shapes, with
+    MFU/roofline accounting per component (XLA cost analysis / measured
+    fenced time / chip peak) so 'at the hardware floor' claims carry
+    evidence."""
     import jax
     import jax.numpy as jnp
+
+    from beyondff_tpu.utils import mfu
 
     gdino, clip, sam = models["gdino"], models["clip"], models["sam"]
     crops_per_frame = 4
@@ -125,18 +130,36 @@ def device_compute(models, iters):
     per_frame = t_gdino + t_clip + t_sam_enc + t_sam_dec
     log(f"device-compute upper bound: {per_frame * 1000:.1f} ms/frame "
         f"= {1 / per_frame:.2f} frames/s")
-    return 1 / per_frame
+
+    # MFU per component: lowered-HLO cost analysis (local; no second device
+    # compile) against the measured fenced time above
+    mfu_records = []
+    for name, fn, args, dt in (
+        ("gdino_forward", lambda p, *a: gdino.module.apply(p, *a),
+         (gdino.params, g_img, ids, self_mask, pad_mask, pos_ids), t_gdino),
+        (f"clip_x{crops_per_frame}crops", clip._encode_image,
+         (clip.params, crops), t_clip),
+        ("sam_encode", sam._encode, (sam.params, s_img), t_sam_enc),
+        (f"sam_decode_x{boxes_per_frame}", sam._decode,
+         (sam.params, emb0, boxes), t_sam_dec),
+    ):
+        cost = mfu.program_cost(fn, *args)
+        log("mfu " + mfu.describe(name, cost, dt))
+        mfu_records.append(mfu.summarize(name, cost, dt))
+    return 1 / per_frame, mfu_records
 
 
-def fast_variant_compute(iters, dtype):
+def fast_variant_compute(iters, dtype, small=False):
     """Secondary metric: the reference's fast detector path (YOLO-World +
     EfficientSAM, ~7-8x faster than G-DINO per the paper Sec. 3.2;
-    tools/segmentation_2d_yolo_world.py). Device-compute f/s at fixed shapes,
-    reported to stderr only — the JSON headline stays the default path."""
+    tools/segmentation_2d_yolo_world.py). Device-compute f/s at fixed shapes.
+    Returns (fps, mfu_records, models) — the built models feed the fast
+    pipeline measurement."""
     import jax
     import jax.numpy as jnp
 
     from beyondff_tpu.models import efficientsam, yolo_world
+    from beyondff_tpu.utils import mfu
 
     rng = np.random.default_rng(0)
 
@@ -144,8 +167,8 @@ def fast_variant_compute(iters, dtype):
         leaves = jax.tree_util.tree_leaves(x)
         float(jax.device_get(leaves[0].reshape(-1)[0].astype(jnp.float32)))
 
-    yw = yolo_world.YOLOWorld.create("l", dtype=dtype)
-    esam = efficientsam.EfficientSAM.create("vits", dtype=dtype)
+    yw = yolo_world.YOLOWorld.create("test" if small else "l", dtype=dtype)
+    esam = efficientsam.EfficientSAM.create("test" if small else "vits", dtype=dtype)
     h, w = yw.cfg.img_size
     img = jnp.asarray(rng.integers(0, 255, (1, h, w, 3)), jnp.uint8)
     txt = jnp.asarray(rng.normal(size=(2, yw.cfg.text_dim)), jnp.float32)
@@ -162,42 +185,29 @@ def fast_variant_compute(iters, dtype):
     per_frame = t_det + t_enc + t_dec
     log(f"fast-variant device-compute: {per_frame * 1000:.1f} ms/frame "
         f"= {1 / per_frame:.2f} frames/s")
-    return 1 / per_frame
+    mfu_records = []
+    for name, fn, args, dt in (
+        ("yolo_world_forward", yw._forward, (yw.params, img, txt), t_det),
+        ("efficientsam_encode", esam._encode, (esam.params, s_img), t_enc),
+        ("efficientsam_decode_x4", esam._decode_multi,
+         (esam.params, emb0, boxes), t_dec),
+    ):
+        cost = mfu.program_cost(fn, *args)
+        log("mfu " + mfu.describe(name, cost, dt))
+        mfu_records.append(mfu.summarize(name, cost, dt))
+    return 1 / per_frame, mfu_records, {"yolo": yw, "esam": esam}
 
 
-def pipeline_wall_clock(models, small):
-    """The honest number: process_scene wall-clock in hit/miss regimes."""
-    from beyondff_tpu.config import Config
-    from beyondff_tpu.pipeline.segmentation_2d import Segmentor2D
-
-    # 96 frames x 2 passes x 2 regimes ~= 60-80 s of measurement: long enough
-    # that a transient co-tenant degradation window (CLAUDE.md) can't dominate
-    # the headline the way the old 24-frame (~5 s) spans could
-    n_frames = int(os.environ.get("BFF_BENCH_FRAMES", "96"))
-    hit_rate = float(os.environ.get("BFF_BENCH_HIT_RATE", "0.25"))
-    boxes_target = int(os.environ.get("BFF_BENCH_BOXES", "4"))
-    width, height = (64, 48) if small else (1296, 968)
-    root = os.path.join("/tmp", f"bff_bench_scene_{'small' if small else 'full'}")
-    make_scene(root, n_frames, width, height)
-
-    # batch 4 measured optimal on one v5e (composite f/s: 1 -> 3.04,
-    # 4 -> 3.73, 8 -> 3.53 — per-dispatch host/RPC overhead amortizes by 4);
-    # multi-chip runs want frame_batch = a device-count multiple
-    frame_batch = int(os.environ.get("BFF_BENCH_FRAME_BATCH", "4" if not small else "8"))
-    cfg = Config.from_dict({
-        "paths": {"scene_2d_dir": root},
-        "frames": {"width_2d": width, "height_2d": height, "downsample_ratio": 1},
-        "detector": {"box_threshold": -1.0, "must_match_query": False,
-                     "similarity_threshold": -10.0, "max_detections": boxes_target,
-                     "dtype": "bfloat16", "frame_batch": frame_batch},
-    })
-    seg = Segmentor2D(cfg, detector=models["gdino"], sam=models["sam"],
-                      clip_model=models["clip"], clip_tokenizer=models["clip_tok"])
-
-    # calibrate box_threshold so the hit regime carries ~boxes_target
-    # boxes/frame (a trained detector yields a handful, not TOP_K=64)
+def _measure_pipeline(seg, cfg, n_frames, hit_rate, tag):
+    """process_scene wall-clock in hit/miss regimes -> composite f/s."""
     from beyondff_tpu.utils import io as bio
 
+    boxes_target = cfg.detector.max_detections
+    width, height = cfg.frames.width_2d, cfg.frames.height_2d
+    root = cfg.paths.scene_2d_dir
+
+    # calibrate box_threshold so the hit regime carries ~boxes_target
+    # boxes/frame (a trained detector yields a handful, not TOP_K)
     frame0 = bio.load_image(os.path.join(root, "scene0000_00", "color", "0.jpg"),
                             size=(width, height))
     _b, scores, _p = seg.detector.predict(frame0, "clothes", box_threshold=-1.0)
@@ -207,7 +217,7 @@ def pipeline_wall_clock(models, small):
         thr = float(scores[boxes_target - 1]) - 1e-6
     else:
         thr = -1.0
-    log(f"calibrated box_threshold={thr:.4f} (top scores {scores[:6].round(4)})")
+    log(f"{tag}: calibrated box_threshold={thr:.4f} (top scores {scores[:6].round(4)})")
 
     def run(threshold, label):
         seg.cfg = cfg.override(**{"detector.box_threshold": threshold})
@@ -232,11 +242,204 @@ def pipeline_wall_clock(models, small):
             f"({len(records)} frames with boxes, {n_boxes} masks)")
         return fps
 
-    fps_hit = run(thr, "pipeline[hit: every frame detects]")
-    fps_miss = run(2.0, "pipeline[miss: detection only]")
+    fps_hit = run(thr, f"{tag}[hit: every frame detects]")
+    fps_miss = run(2.0, f"{tag}[miss: detection only]")
     composite = 1.0 / (hit_rate / fps_hit + (1 - hit_rate) / fps_miss)
-    log(f"pipeline composite at {hit_rate:.0%} hit rate: {composite:.2f} frames/s")
+    log(f"{tag} composite at {hit_rate:.0%} hit rate: {composite:.2f} frames/s")
     return composite
+
+
+def _bench_scene_cfg(small, extra_detector=None):
+    """Shared synthetic-scene config for the pipeline measurements."""
+    from beyondff_tpu.config import Config
+
+    n_frames = int(os.environ.get("BFF_BENCH_FRAMES", "96"))
+    boxes_target = int(os.environ.get("BFF_BENCH_BOXES", "4"))
+    width, height = (64, 48) if small else (1296, 968)
+    root = os.path.join("/tmp", f"bff_bench_scene_{'small' if small else 'full'}")
+    make_scene(root, n_frames, width, height)
+    # batch 4 measured optimal on one v5e (composite f/s: 1 -> 3.04,
+    # 4 -> 3.73, 8 -> 3.53 — per-dispatch host/RPC overhead amortizes by 4);
+    # multi-chip runs want frame_batch = a device-count multiple
+    frame_batch = int(os.environ.get("BFF_BENCH_FRAME_BATCH", "4" if not small else "8"))
+    det = {"box_threshold": -1.0, "must_match_query": False,
+           "similarity_threshold": -10.0, "max_detections": boxes_target,
+           "dtype": "bfloat16", "frame_batch": frame_batch}
+    det.update(extra_detector or {})
+    return Config.from_dict({
+        "paths": {"scene_2d_dir": root},
+        "frames": {"width_2d": width, "height_2d": height, "downsample_ratio": 1},
+        "detector": det,
+    }), n_frames
+
+
+def pipeline_wall_clock(models, small):
+    """The honest headline: process_scene wall-clock, default GDINO+SAM path.
+
+    96 frames x 4 passes x 2 regimes: long enough that a transient co-tenant
+    degradation window (CLAUDE.md) can't dominate the headline the way the
+    old 24-frame (~5 s) spans could."""
+    from beyondff_tpu.pipeline.segmentation_2d import Segmentor2D
+
+    hit_rate = float(os.environ.get("BFF_BENCH_HIT_RATE", "0.25"))
+    cfg, n_frames = _bench_scene_cfg(small)
+    seg = Segmentor2D(cfg, detector=models["gdino"], sam=models["sam"],
+                      clip_model=models["clip"], clip_tokenizer=models["clip_tok"])
+    return _measure_pipeline(seg, cfg, n_frames, hit_rate, "pipeline")
+
+
+def fast_pipeline_wall_clock(models, fast_models, small):
+    """The fast variant (YOLO-World + EfficientSAM) as a FULL pipeline
+    composite — same methodology/regimes as the headline, answering whether
+    the reference's '7-8x faster' configuration (README.md:73-83, paper
+    Sec. 3.2) meets the multi-chip north star end-to-end."""
+    from beyondff_tpu.pipeline.segmentation_2d import Segmentor2D
+
+    hit_rate = float(os.environ.get("BFF_BENCH_HIT_RATE", "0.25"))
+    cfg, n_frames = _bench_scene_cfg(small, extra_detector={"kind": "yolo_world"})
+    seg = Segmentor2D(cfg, detector=fast_models["yolo"], sam=fast_models["esam"],
+                      clip_model=models["clip"], clip_tokenizer=models["clip_tok"])
+    if getattr(seg.detector, "clip", None) is None:
+        seg.detector.clip = models["clip"]
+        seg.detector.clip_tokenizer = models["clip_tok"]
+    return _measure_pipeline(seg, cfg, n_frames, hit_rate, "fast-pipeline")
+
+
+def projection_bench(small):
+    """Stage 2+3 (projection + refinement) scenes/min, end-to-end AND
+    device-only, so the host link (~85 MB/s tunnel uploading ~184 MB of
+    depth/scene) doesn't masquerade as chip cost.
+
+    - e2e: the real drivers over the full-scale fixture (300 frames, 250k
+      points — tools/bench_pipeline.py's scene), best of repeats.
+    - device-only: the driver's device programs (depth prep + RLE lift,
+      view counts, aggregation, filtering) measured fenced on
+      device-resident inputs at the same scale, composed per the fixture's
+      chunk counts. Reference baseline: 1.1-4.8 s/scene (BASELINE.md).
+    """
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+
+    from beyondff_tpu.config import Config
+    from beyondff_tpu.core import aggregation, filtering, geometry
+
+    n_points = 16_000 if small else 250_000
+    n_frames = 32 if small else 300
+    det_every = 4  # fixture: 1 in 4 frames carries a detection
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_pipeline", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "tools", "bench_pipeline.py"))
+    bp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bp)
+
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bffbench_proj_")
+    t0 = time.time()
+    cfg = Config.from_yaml(bp.build_fullscale_scene(
+        root, n_points, n_frames, np.random.default_rng(0)))
+    log(f"projection fixture built in {time.time() - t0:.1f}s "
+        f"({n_points} pts, {n_frames} frames)")
+
+    from beyondff_tpu.pipeline import projection, refinement
+
+    # --- end-to-end (includes PNG decode, depth upload over the link)
+    t0 = time.time()
+    projection.run(cfg, "clothes", resume=False)
+    refinement.run(cfg, "clothes")
+    log(f"projection+refinement warmup (incl compiles): {time.time() - t0:.1f}s")
+    e2e_times = []
+    for _ in range(int(os.environ.get("BFF_BENCH_PROJ_PASSES", "2"))):
+        t0 = time.time()
+        projection.run(cfg, "clothes", resume=False)
+        refinement.run(cfg, "clothes")
+        e2e_times.append(time.time() - t0)
+    per_scene_e2e = min(e2e_times)
+    log(f"projection+refinement e2e: {per_scene_e2e:.2f} s/scene "
+        f"(passes {[round(t, 2) for t in e2e_times]})")
+
+    # --- device-only: fenced programs on device-resident inputs
+    def sync(x):
+        leaves = jax.tree_util.tree_leaves(x)
+        float(jax.device_get(jnp.asarray(leaves[0]).reshape(-1)[0].astype(jnp.float32)))
+
+    rng = np.random.default_rng(1)
+    h2d, w2d = cfg.frames.height_2d, cfg.frames.width_2d
+    pcd = rng.uniform([-2, -1.5, 1.0], [2, 1.5, 4.0], (n_points, 3)).astype(np.float32)
+    pcd_h = projection._pad_points(geometry.homogenize(pcd))
+    pcd_dev = jnp.asarray(pcd_h)
+    intr = np.array([[1170.0, 0, w2d / 2], [0, 1170.0, h2d / 2], [0, 0, 1.0]])
+    projs8 = jnp.asarray(np.stack([geometry.fuse_projection(intr, np.eye(4))
+                                   for _ in range(8)]).astype(np.float32))
+    projs32 = jnp.asarray(np.stack([geometry.fuse_projection(intr, np.eye(4))
+                                    for _ in range(32)]).astype(np.float32))
+    raw8 = jnp.asarray(rng.integers(500, 4000, (8, 480, 640)).astype(np.uint16))
+    raw32 = jnp.asarray(rng.integers(500, 4000, (32, 480, 640)).astype(np.uint16))
+    # RLE bounds at fixture-like density (~1k runs/mask row); the same mask
+    # on every frame (like the fixture) so the views merge and the
+    # aggregate/filter timing covers real group work
+    r_pad = 1024
+    st1 = np.sort(rng.integers(0, h2d * w2d, (1, 1, r_pad)), axis=-1)
+    en1 = np.minimum(st1 + rng.integers(1, 64, st1.shape), h2d * w2d)
+    st = jnp.asarray(np.broadcast_to(st1, (8, 1, r_pad)), jnp.int32)
+    en = jnp.asarray(np.broadcast_to(en1, (8, 1, r_pad)), jnp.int32)
+    thresh = cfg.frames.depth_thresh
+
+    def det_chunk():
+        d = geometry.prepare_depth(raw8, (h2d, w2d), cfg.frames.depth_scale)
+        return geometry.lift_frames_rle(pcd_dev, projs8, d, st, en, thresh)
+
+    def view_chunk():
+        d = geometry.prepare_depth(raw32, (h2d, w2d), cfg.frames.depth_scale)
+        return geometry.view_counts(pcd_dev, projs32, d, thresh)
+
+    iters = int(os.environ.get("BFF_BENCH_PROJ_ITERS", "4"))
+    t_det = timed("projection det-chunk (8 frames, depth prep + RLE lift)",
+                  det_chunk, sync, iters)
+    t_view = timed("projection view-chunk (32 frames)", view_chunk, sync, iters)
+
+    membership, mc, vc = det_chunk()
+    n_det = n_frames // det_every
+    n_view = n_frames - n_det
+    det_chunks = -(-n_det // 8)
+    view_chunks = -(-n_view // 32)
+    chunks = [(membership, [1] * 8)] * det_chunks
+    confs = [0.9] * (8 * det_chunks)
+    labels = ["clothes"] * (8 * det_chunks)
+    mc_h = np.asarray(mc, np.int64)[:n_points]
+    vc_h = np.asarray(vc, np.int64)[:n_points]
+
+    def agg_filter():
+        agg = aggregation.aggregate_chunks(
+            chunks, n_points, confs, labels,
+            iou_thres=cfg.aggregation.iou_thres,
+            min_aggregated_masks=cfg.aggregation.min_aggregated_masks)
+        return filtering.filter_masks(agg, mc_h, vc_h, cfg.filtering)
+
+    t0 = time.time()
+    out = agg_filter()
+    log(f"projection aggregate+filter: compile+first {time.time() - t0:.1f}s")
+    t_af = []
+    for _ in range(2):
+        t0 = time.time()
+        out = agg_filter()
+        t_af.append(time.time() - t0)
+    t_aggf = min(t_af)
+    log(f"projection aggregate+filter: steady {t_aggf * 1000:.0f} ms "
+        f"({out.ins.shape[0]} masks)")
+
+    per_scene_device = det_chunks * t_det + view_chunks * t_view + t_aggf
+    log(f"projection device-only: {det_chunks}x{t_det * 1000:.0f}ms det + "
+        f"{view_chunks}x{t_view * 1000:.0f}ms view + {t_aggf * 1000:.0f}ms agg/filter "
+        f"= {per_scene_device:.2f} s/scene")
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return 60.0 / per_scene_e2e, 60.0 / per_scene_device
 
 
 def multichip_scaling(n_devices):
@@ -366,20 +569,45 @@ def main():
         "clip_tok": HashTokenizer(clip.cfg.vocab_size, clip.cfg.context_length),
     }
 
-    fps_device = device_compute(models, iters)
-    fps_fast = None
-    if not small and os.environ.get("BFF_BENCH_FAST_VARIANT", "1") != "0":
-        fps_fast = fast_variant_compute(iters, dtype)
+    fps_device, mfu_records = device_compute(models, iters)
+    fps_fast = fps_fast_pipeline = None
+    fast_models = None
+    if os.environ.get("BFF_BENCH_FAST_VARIANT", "1") != "0":
+        fps_fast, fast_mfu, fast_models = fast_variant_compute(iters, dtype, small)
+        mfu_records.extend(fast_mfu)
     fps_pipeline = pipeline_wall_clock(models, small)
+    if fast_models is not None and os.environ.get("BFF_BENCH_FAST_PIPELINE", "1") != "0":
+        fps_fast_pipeline = fast_pipeline_wall_clock(models, fast_models, small)
+    proj_e2e = proj_device = None
+    if os.environ.get("BFF_BENCH_PROJ", "0" if small else "1") != "0":
+        proj_e2e, proj_device = projection_bench(small)
     log(f"summary: device-compute {fps_device:.2f} f/s, "
         f"pipeline composite {fps_pipeline:.2f} f/s"
-        + (f", fast-variant device {fps_fast:.2f} f/s" if fps_fast else ""))
+        + (f", fast-variant device {fps_fast:.2f} f/s" if fps_fast else "")
+        + (f", fast pipeline composite {fps_fast_pipeline:.2f} f/s"
+           if fps_fast_pipeline else "")
+        + (f", projection {proj_e2e:.1f} scenes/min e2e / {proj_device:.1f} device-only"
+           if proj_e2e else ""))
 
+    # one JSON line; the headline metric stays name-stable across rounds and
+    # the secondary metrics ride in "extra" (reference anchors: seg2d ~10 f/s
+    # avg, projection ~12-20 scenes/min — BASELINE.md)
+    extra = {
+        "seg2d_device_bound_fps": round(fps_device, 3),
+        "seg2d_fast_device_fps": round(fps_fast, 3) if fps_fast else None,
+        "seg2d_fast_pipeline_fps": (round(fps_fast_pipeline, 3)
+                                    if fps_fast_pipeline else None),
+        "projection_scenes_per_min_e2e": round(proj_e2e, 2) if proj_e2e else None,
+        "projection_scenes_per_min_device": (round(proj_device, 2)
+                                             if proj_device else None),
+        "mfu": mfu_records,
+    }
     print(json.dumps({
         "metric": "seg2d_pipeline_frames_per_sec",
         "value": round(fps_pipeline, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps_pipeline / BASELINE_FPS, 3),
+        "extra": extra,
     }))
 
 
