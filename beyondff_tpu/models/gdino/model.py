@@ -472,6 +472,8 @@ class GroundingDINO:
             return jax.lax.map(one, frames_u8)
 
         self._forward_topk_frames_mapped = jax.jit(fwd_topk_frames_mapped)
+        self._fwd_topk_frames_py = fwd_topk_frames  # unjitted, for shard_map
+        self._shmap_cache = {}
 
     @classmethod
     def create(cls, name_or_cfg="swinb", tokenizer=None, seed: int = 0, dtype=jnp.float32,
@@ -594,15 +596,39 @@ class GroundingDINO:
                 jnp.asarray(tile(self_mask)),
                 jnp.asarray(tile(pad)), jnp.asarray(tile(pos_ids))]
         if sharded:
-            # data-parallel inference: shard the frame batch over all devices
+            # data-parallel inference: shard the frame batch over all devices.
+            # The forward runs under shard_map (each device computes its own
+            # frames, params replicated) rather than jit-on-sharded-inputs:
+            # XLA's top_k SPMD fallback otherwise inserts two small
+            # all-gathers per batch — shard_map keeps the program provably
+            # collective-free (tools/scaling_evidence.py --hlo checks this)
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
             mesh = Mesh(np.asarray(devices), ("data",))
             sharding = NamedSharding(mesh, PartitionSpec("data"))
             args = [jax.device_put(a, sharding) for a in args]
+            if frames:
+                packed = self._sharded_frames_fwd(mesh)(self.params, *args)
+                return packed, ids, b
         fwd = self._forward_topk_frames if frames else self._forward_topk
         packed = fwd(self.params, *args)
         return packed, ids, b
+
+    def _sharded_frames_fwd(self, mesh):
+        """jit(shard_map(frame forward)) over the data axis, cached per mesh."""
+        key = (id(mesh), tuple(mesh.devices.flat))
+        fn = self._shmap_cache.get(key)
+        if fn is None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            fn = jax.jit(shard_map(
+                self._fwd_topk_frames_py, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                          P("data")),
+                out_specs=P("data")))
+            self._shmap_cache[key] = fn
+        return fn
 
     def _predict_common(self, images, caption, box_threshold, text_threshold, frames):
         handle = self._dispatch(images, caption, frames)
