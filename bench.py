@@ -71,7 +71,12 @@ def make_scene(root, n_frames, width, height):
     color = os.path.join(root, "scene0000_00", "color")
     marker = os.path.join(color, f".done_{n_frames}_{width}x{height}")
     if os.path.exists(marker):
-        return
+        # the marker alone is NOT proof: markers from other sizes survive
+        # early returns, so a later rebuild at another size leaves this
+        # marker dangling — verify the actual frame count
+        n_jpg = sum(f.endswith(".jpg") for f in os.listdir(color))
+        if n_jpg == n_frames:
+            return
     os.makedirs(color, exist_ok=True)
     # stale frames/markers from a different n_frames would silently inflate
     # the scene (process_scene lists the dir) and skew every f/s number

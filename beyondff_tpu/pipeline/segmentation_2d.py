@@ -176,10 +176,17 @@ class Segmentor2D:
             src = image
             sx = src.shape[1] / w
             sy = src.shape[0] / h
+            import cv2
+
+            # uint8 * 255 wraps to (-x) mod 256, the reference's quirk —
+            # uint8 -> uint8 is a pure per-value map, so a 256-entry LUT
+            # built with the IDENTICAL expression is bit-exact at a fraction
+            # of the host cost (measured 4 ms/crop for the float chain,
+            # 0.26 ms via cv2.LUT)
+            lut = (np.arange(256, dtype=np.uint8) * 255).astype(np.uint8)
 
             def normalize(c):
-                # uint8 * 255 wraps to (-x) mod 256, the reference's quirk
-                return (c * 255).astype(np.uint8)
+                return cv2.LUT(c, lut)
         else:
             import cv2
 
@@ -189,13 +196,19 @@ class Segmentor2D:
             src = cv2.resize(image, (gw, gh), interpolation=cv2.INTER_LINEAR)
             sx, sy = gw / w, gh / h
 
-            # normalize per crop, not per frame: identical float ops in the
-            # same order as normalizing the whole frame first, at a fraction
-            # of the host work (the full-frame float pass measured ~10 ms on
-            # the one shared host core)
+            # normalize per crop via a per-channel 256-entry LUT: the
+            # reference normalizes the whole detector tensor then crops
+            # (bbox_filter, segmentation_2d.py:345-380); uint8 -> uint8 is a
+            # pure per-value map per channel, so the LUT built with the
+            # IDENTICAL float expression (including its negative-float ->
+            # uint8 cast wraparound) is bit-exact at ~1/16th the host cost
+            # (4.1 -> 0.26 ms on a 300x400 crop via cv2.LUT)
+            lut = (((np.arange(256, dtype=np.float32)[:, None] / 255.0
+                     - IMAGE_MEAN) / IMAGE_STD) * 255).astype(np.uint8)
+            lut_cv = lut.reshape(1, 256, 3)
+
             def normalize(c):
-                return (((c.astype(np.float32) / 255.0 - IMAGE_MEAN) / IMAGE_STD)
-                        * 255).astype(np.uint8)
+                return cv2.LUT(c, lut_cv)
         sh, sw = src.shape[:2]
         crops = []
         for bx0, by0, bx1, by1 in boxes_xyxy:
@@ -207,7 +220,9 @@ class Segmentor2D:
             crops.append(normalize(src[y0:y1, x0:x1]))
         return crops
 
-    def _clip_sims(self, crops: List[np.ndarray], query: str) -> np.ndarray:
+    def _clip_sims_dispatch(self, crops: List[np.ndarray]):
+        """Device half of crop scoring: preprocess + encode dispatch + async
+        D2H start. Returns (feats_dev, n) for :meth:`_clip_sims_fetch`."""
         batch = self.clip.preprocess(crops)
         # bucket the crop count to the next power of two: detection counts
         # vary per frame batch, and every distinct batch size would compile a
@@ -219,9 +234,21 @@ class Segmentor2D:
         if k > n:
             batch = np.concatenate(
                 [batch, np.zeros((k - n, *batch.shape[1:]), batch.dtype)])
-        feats = np.asarray(self.clip.encode_image(batch), np.float32)[:n]
+        feats_dev = self.clip.encode_image(batch)
+        try:
+            feats_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        return feats_dev, n
+
+    def _clip_sims_fetch(self, feats_dev, n: int, query: str) -> np.ndarray:
+        feats = np.asarray(feats_dev, np.float32)[:n]
         feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
         return feats @ self.query_embedding(query)
+
+    def _clip_sims(self, crops: List[np.ndarray], query: str) -> np.ndarray:
+        feats_dev, n = self._clip_sims_dispatch(crops)
+        return self._clip_sims_fetch(feats_dev, n, query)
 
     def filter_boxes_with_clip(self, image: np.ndarray, boxes_xyxy: np.ndarray,
                                query: str) -> np.ndarray:
@@ -318,8 +345,10 @@ class Segmentor2D:
         embs = self.sam.encode_image(x, input_hw=input_hw)  # stays on device
         return self._decode_masks(embs, dets, input_hw, (h, w))
 
-    def _decode_masks(self, embs, dets: List, input_hw, orig_hw) -> List[np.ndarray]:
-        """Batched box decode + device bit-pack + one packed host download."""
+    def _decode_masks_dispatch(self, embs, dets: List, input_hw, orig_hw):
+        """Device half of the batched box decode: pads boxes, decodes +
+        bit-packs on device, concatenates the valid rows into one flat
+        buffer, and starts its async D2H. Returns (flat_dev, sizes)."""
         d = self.cfg.detector
         h, w = orig_hw
         b = int(embs.shape[0])
@@ -335,8 +364,19 @@ class Segmentor2D:
         import jax.numpy as jnp
 
         sizes = [bx.shape[0] for bx, _s, _p in dets]
-        flat = np.asarray(jnp.concatenate(  # one host transfer for the batch
-            [packed[i, :m] for i, m in enumerate(sizes)], axis=0))
+        flat_dev = jnp.concatenate(  # one host transfer for the batch
+            [packed[i, :m] for i, m in enumerate(sizes)], axis=0)
+        try:
+            flat_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        return flat_dev, sizes
+
+    def _decode_masks_fetch(self, flat_dev, sizes: List[int],
+                            orig_hw) -> List[np.ndarray]:
+        """Host half: materialize the packed download, unpack to dense."""
+        h, w = orig_hw
+        flat = np.asarray(flat_dev)
         masks = np.unpackbits(flat, axis=-1, bitorder="little")[:, : h * w]
         out = []
         off = 0
@@ -344,6 +384,11 @@ class Segmentor2D:
             out.append(masks[off:off + m].reshape(m, h, w).astype(bool))
             off += m
         return out
+
+    def _decode_masks(self, embs, dets: List, input_hw, orig_hw) -> List[np.ndarray]:
+        """Batched box decode + device bit-pack + one packed host download."""
+        flat_dev, sizes = self._decode_masks_dispatch(embs, dets, input_hw, orig_hw)
+        return self._decode_masks_fetch(flat_dev, sizes, orig_hw)
 
     # ------------------------------------------------------------ per frame
     def process_frame(self, image: np.ndarray, query: str) -> Optional[Dict]:
@@ -444,6 +489,12 @@ class Segmentor2D:
             with _span("det_dispatch"):
                 handle = self.detector.predict_batch_frames_async(
                     _stack_jit(len(devs))(*devs), query)
+                try:
+                    # start the packed-result D2H as soon as detection lands,
+                    # overlapping the transfer with the queued SAM/CLIP work
+                    handle[0].copy_to_host_async()
+                except AttributeError:
+                    pass
             pending.append((fids, smalls, input_hw, devs, handle))
             buf.clear()
 
@@ -456,7 +507,18 @@ class Segmentor2D:
         # filter-then-encode.
         eager_sam = os.environ.get("BFF_SEG2D_EAGER_SAM", "1") != "0"
 
-        def complete_pending():
+        # Three-stage deferred completion (device path): every device result
+        # (detection packed, CLIP feats, packed masks) starts its D2H with
+        # copy_to_host_async at dispatch and is MATERIALIZED one flush cycle
+        # later, so the host never blocks on in-flight device compute in the
+        # steady state — the transfers ride the link while the chip works on
+        # the next batch. Semantics are identical to the blocking order
+        # (phrase filter -> CLIP filter -> cap -> decode); BFF_SEG2D_DEFER=0
+        # restores same-cycle resolution for A/B.
+        bq: List = []  # awaiting CLIP sims -> decode dispatch
+        cq: List = []  # awaiting packed-mask download -> emit
+
+        def stage_a():
             fids, smalls, input_hw, devs, handle = pending.pop(0)
             with _span("det_finalize"):
                 raw = self.detector.predict_finalize(
@@ -470,44 +532,95 @@ class Segmentor2D:
                 return
             embs = None
             if eager_sam:
+                # SAM encode dispatches BEFORE the CLIP crop filter: the
+                # encoder only needs the frame buffer, so the chip runs ViT-H
+                # while the host builds/normalizes crops. Cost: a frame whose
+                # every box the CLIP filter drops has paid its encode;
+                # detection-empty frames never encode either way.
                 with _span("sam_encode_dispatch"):
                     embs = self.sam.encode_frames(
                         _stack_jit(len(idx))(*[devs[i] for i in idx]))
-            with _span("filter"):
-                filtered_all = self._detect_and_filter_batch(
-                    smalls, raw, query, frame_hw=frame_hw, pre=pre)
-            kept_idx = [i for i in idx if filtered_all[i] is not None]
+            feats_dev = n_crops = counts = None
+            if self.clip is not None and d.filter_with_clip:
+                with _span("crop_build"):
+                    crops: List[np.ndarray] = []
+                    counts = []
+                    for i in idx:
+                        c = self._clip_crops(smalls[i], pre[i][0], frame_hw)
+                        crops.extend(c)
+                        counts.append(len(c))
+                if crops:
+                    with _span("clip_dispatch"):
+                        feats_dev, n_crops = self._clip_sims_dispatch(crops)
+            bq.append((fids, smalls, input_hw, devs, idx, pre,
+                       embs, feats_dev, n_crops, counts))
+
+        def stage_b():
+            (fids, smalls, input_hw, devs, idx, pre,
+             embs, feats_dev, n_crops, counts) = bq.pop(0)
+            dets_by_i = {}
+            if feats_dev is not None:
+                with _span("clip_wait"):
+                    sims_all = self._clip_sims_fetch(feats_dev, n_crops, query)
+                with _span("filter_apply"):
+                    off = 0
+                    for i, n in zip(idx, counts):
+                        boxes_xyxy, _scores, phrases = pre[i]
+                        sims = sims_all[off:off + n]
+                        off += n
+                        keep = sims >= d.similarity_threshold
+                        bx = boxes_xyxy[keep]
+                        if bx.shape[0]:
+                            # the reference replaces detector logits with sims
+                            dets_by_i[i] = self._cap_detections(
+                                (bx, sims[keep],
+                                 [p for p, k in zip(phrases, keep) if k]))
+            else:
+                dets_by_i = {i: self._cap_detections(pre[i]) for i in idx}
+            kept_idx = [i for i in idx if i in dets_by_i]
             if not kept_idx:
                 return
             if embs is None:
-                idx = kept_idx
                 with _span("sam_encode_dispatch"):
                     embs = self.sam.encode_frames(
-                        _stack_jit(len(idx))(*[devs[i] for i in idx]))
+                        _stack_jit(len(kept_idx))(*[devs[i] for i in kept_idx]))
             elif len(kept_idx) < len(idx):
                 # narrow the eager-encoded embeddings to frames that still
                 # have boxes after the CLIP filter: an entirely-dropped frame
                 # has paid its (intended) eager encode, but keeping it in the
                 # decode batch would run the SAM decoder on k zero boxes
-                pos = [j for j, i in enumerate(idx) if filtered_all[i] is not None]
+                pos = [j for j, i in enumerate(idx) if i in dets_by_i]
                 embs = embs[np.asarray(pos)]
-                idx = kept_idx
-            dets = [filtered_all[i] for i in idx]
-            with _span("decode_masks"):
-                masks = self._decode_masks(embs, dets, input_hw, frame_hw)
+            dets = [dets_by_i[i] for i in kept_idx]
+            with _span("decode_dispatch"):
+                flat_dev, sizes = self._decode_masks_dispatch(
+                    embs, dets, input_hw, frame_hw)
+            cq.append(([(fids[i], smalls[i], dets_by_i[i]) for i in kept_idx],
+                       flat_dev, sizes))
+
+        def stage_c():
+            kept, flat_dev, sizes = cq.pop(0)
+            with _span("decode_wait"):
+                masks = self._decode_masks_fetch(flat_dev, sizes, frame_hw)
             with _span("emit"):
-                kept = [(fids[i], smalls[i], filtered_all[i]) for i in idx]
                 emit(kept, masks)
 
         # in-flight detection batches: det(t) and det(t+1) queue on device
         # while the host finalizes t-1 — absorbs host-side jitter (JPEG
         # decode, crop building, mask unpacking) without idling the chip
         inflight = int(os.environ.get("BFF_SEG2D_INFLIGHT", "2"))
+        # deferred-resolution depth: 1 = materialize each device download one
+        # flush cycle after its dispatch (default), 0 = same-cycle (blocking)
+        defer = 0 if os.environ.get("BFF_SEG2D_DEFER", "1") == "0" else 1
 
         def flush_device():
             dispatch_detection()
             if len(pending) > inflight:
-                complete_pending()
+                stage_a()
+            while len(bq) > defer:
+                stage_b()
+            while len(cq) > defer:
+                stage_c()
 
         def flush_host():
             fids, images = zip(*buf)
@@ -548,7 +661,11 @@ class Segmentor2D:
         if buf:
             flush()
         while pending:
-            complete_pending()
+            stage_a()
+        while bq:
+            stage_b()
+        while cq:
+            stage_c()
         if trace is not None:
             total = sum(trace.values())
             parts = " ".join(f"{k}={v * 1000:.0f}ms" for k, v in

@@ -176,6 +176,61 @@ def test_process_scene_device_frames_runs(tmp_path, monkeypatch):
     assert len(recs_host) == 4
 
 
+def test_process_scene_defer_matches_blocking(tmp_path, monkeypatch):
+    """The three-stage deferred completion (BFF_SEG2D_DEFER=1, default) must
+    emit byte-identical records to same-cycle blocking resolution, with and
+    without the eager SAM encode — only the host blocking points move, never
+    the math (phrase filter -> CLIP filter -> cap -> decode)."""
+    import cv2
+
+    rng = np.random.default_rng(8)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(5):  # odd count: exercises the partial tail batch
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    def make(threshold):
+        cfg = Config.from_dict({
+            "paths": {"scene_2d_dir": str(tmp_path)},
+            "frames": {"width_2d": 64, "height_2d": 48, "downsample_ratio": 1},
+            "detector": {"box_threshold": -1.0, "must_match_query": False,
+                         "similarity_threshold": threshold,
+                         "max_detections": 4, "dtype": "float32",
+                         "frame_batch": 2},
+        })
+        return Segmentor2D(cfg)
+
+    # calibrate: random-init CLIP sims are tightly correlated across crops,
+    # so a fixed threshold keeps all or none — pick the median observed sim
+    # so the filter genuinely drops some boxes and keeps others
+    monkeypatch.setenv("BFF_SEG2D_DEFER", "0")
+    monkeypatch.setenv("BFF_SEG2D_EAGER_SAM", "0")
+    probe = make(-10.0).process_scene("scene0000_00", "clothes")
+    sims = np.concatenate([r["confidences"] for r in probe])
+    assert sims.size >= 4
+    seg = make(float(np.median(sims)))
+
+    def run(defer, eager):
+        monkeypatch.setenv("BFF_SEG2D_DEFER", defer)
+        monkeypatch.setenv("BFF_SEG2D_EAGER_SAM", eager)
+        return seg.process_scene("scene0000_00", "clothes")
+
+    base = run("0", "0")
+    assert base, "median threshold should keep at least one record"
+    n_base = sum(len(r["confidences"]) for r in base)
+    assert 0 < n_base < sims.size, "filter should drop some boxes, not all"
+    for defer, eager in (("1", "1"), ("1", "0"), ("0", "1")):
+        recs = run(defer, eager)
+        assert len(recs) == len(base)
+        for r, b in zip(recs, base):
+            assert r["frame_id"] == b["frame_id"]
+            assert r["labels"] == b["labels"]
+            np.testing.assert_allclose(r["confidences"], b["confidences"],
+                                       rtol=1e-6)
+            np.testing.assert_array_equal(r["segmented_frame_masks"],
+                                          b["segmented_frame_masks"])
+
+
 def test_yolo_async_frame_path_matches_predict():
     """predict_batch_frames_async+finalize must equal predict() when the
     uploaded frame is already at the detector input resolution (the device

@@ -67,23 +67,33 @@ def main():
     print(f"# calibrated box_threshold={thr:.4f}", flush=True)
 
     variants = os.environ.get("BFF_HIT_VARIANTS", "1,0").split(",")
+    defer_variants = os.environ.get("BFF_HIT_DEFER", "1").split(",")
     passes = int(os.environ.get("BFF_HIT_PASSES", "3"))
-    for flag in variants:
-        os.environ["BFF_SEG2D_EAGER_SAM"] = flag
-        label = "eager sam encode" if flag != "0" else "filter-then-encode"
-        t0 = time.time()
-        seg.process_scene("scene0000_00", "clothes")
-        print(f"# [{label}] warmup {time.time() - t0:.1f}s", flush=True)
-        times = []
-        for _ in range(passes):
-            t0 = time.time()
-            recs = seg.process_scene("scene0000_00", "clothes")
-            times.append(time.time() - t0)
-        n_boxes = sum(len(r["confidences"]) for r in recs)
-        print(f"hit-regime [{label}]: best {n_frames / min(times):.2f} f/s "
-              f"({len(recs)} frames with boxes, {n_boxes} masks, "
-              f"all={[round(n_frames / t, 2) for t in times]})", flush=True)
+    warmed = False
+    for dflag in defer_variants:
+        os.environ["BFF_SEG2D_DEFER"] = dflag
+        for flag in variants:
+            os.environ["BFF_SEG2D_EAGER_SAM"] = flag
+            label = ("eager sam encode" if flag != "0" else "filter-then-encode")
+            label += " defer" if dflag != "0" else " blocking"
+            if not warmed:
+                # defer variants reuse the same compiled programs — only the
+                # first variant pays the compile warmup
+                t0 = time.time()
+                seg.process_scene("scene0000_00", "clothes")
+                print(f"# [{label}] warmup {time.time() - t0:.1f}s", flush=True)
+                warmed = True
+            times = []
+            for _ in range(passes):
+                t0 = time.time()
+                recs = seg.process_scene("scene0000_00", "clothes")
+                times.append(time.time() - t0)
+            n_boxes = sum(len(r["confidences"]) for r in recs)
+            print(f"hit-regime [{label}]: best {n_frames / min(times):.2f} f/s "
+                  f"({len(recs)} frames with boxes, {n_boxes} masks, "
+                  f"all={[round(n_frames / t, 2) for t in times]})", flush=True)
     os.environ.pop("BFF_SEG2D_EAGER_SAM", None)
+    os.environ.pop("BFF_SEG2D_DEFER", None)
 
 
 if __name__ == "__main__":

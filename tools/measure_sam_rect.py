@@ -11,7 +11,16 @@ shape:
   - embedding deviation over the valid grid region
   - decoded-mask bit agreement (IoU) for box prompts
 
+BFF_RECT_TEMP_SWEEP=1 additionally re-measures the deviation at scaled
+attention temperatures (q-projection columns x2/x4/x8): random-init qk
+logits are near zero so softmax is maximally diffuse and every pad token
+gets ~uniform weight — the worst case for dropping them. Trained
+checkpoints have peaky attention; scaling q raises logit variance toward
+that regime, bounding how much of the measured deviation is a random-init
+artifact (VERDICT r3 item 6b).
+
     python tools/measure_sam_rect.py
+    BFF_RECT_TEMP_SWEEP=1 python tools/measure_sam_rect.py
 """
 
 import os
@@ -61,31 +70,65 @@ def main():
                       [50, 50, 200, 300], [400, 100, 1000, 760]], np.float32)
     boxes = boxes[None]  # (1, 4, 4) padded-square pixels
 
+    def scale_attn_temp(params, t):
+        """Scale the q columns of every encoder qkv projection by t (on
+        device): logits scale by t, softmax gets peakier (trained-like)."""
+        import jax.tree_util as jtu
+
+        def fn(path, leaf):
+            keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+            if "encoder" not in keys or "qkv" not in keys:
+                return leaf
+            c = leaf.shape[-1] // 3
+            if keys[-1] == "kernel":
+                return jnp.concatenate([leaf[:, :c] * t, leaf[:, c:]], axis=-1)
+            if keys[-1] == "bias":
+                return jnp.concatenate([leaf[:c] * t, leaf[c:]])
+            return leaf
+
+        return jtu.tree_map_with_path(fn, params)
+
+    temps = [1.0]
+    if os.environ.get("BFF_RECT_TEMP_SWEEP"):
+        temps += [2.0, 4.0, 8.0]
+
     results = {}
+    sams = {}
     for flag, label in (("0", "square 64x64"), ("1", "rect 48x64")):
         os.environ["BFF_SAM_RECT"] = flag
         sam = sam_mod.SAM.create("vit_h", dtype=dtype, device_fill=True)
+        sams[flag] = (sam, sam.params)
         emb = timed(f"encode [{label}]", lambda: sam.encode_frames(frame_dev))
         packed, iou = sam.decode_boxes_packed(emb, boxes, (nh, nw), (968, 1296))
-        results[flag] = (np.asarray(jax.device_get(emb), np.float32),
-                         np.asarray(jax.device_get(packed)),
-                         np.asarray(jax.device_get(iou), np.float32))
+        results[(flag, 1.0)] = (np.asarray(jax.device_get(emb), np.float32),
+                                np.asarray(jax.device_get(packed)),
+                                np.asarray(jax.device_get(iou), np.float32))
+        for t in temps[1:]:
+            sam.params = scale_attn_temp(sams[flag][1], t)
+            emb = sam.encode_frames(frame_dev)
+            packed, iou = sam.decode_boxes_packed(emb, boxes, (nh, nw), (968, 1296))
+            results[(flag, t)] = (np.asarray(jax.device_get(emb), np.float32),
+                                  np.asarray(jax.device_get(packed)),
+                                  np.asarray(jax.device_get(iou), np.float32))
+        sam.params = sams[flag][1]
     os.environ.pop("BFF_SAM_RECT", None)
 
-    emb_sq, packed_sq, iou_sq = results["0"]
-    emb_r, packed_r, iou_r = results["1"]
-    gh, gw = emb_r.shape[1], emb_r.shape[2]
-    valid_sq = emb_sq[:, :gh, :gw]
-    rel = np.linalg.norm(emb_r - valid_sq) / (np.linalg.norm(valid_sq) + 1e-12)
-    print(f"embedding rel L2 over valid {gh}x{gw} region: {rel:.4f}")
-
-    bits_sq = np.unpackbits(packed_sq, axis=-1, bitorder="little")
-    bits_r = np.unpackbits(packed_r, axis=-1, bitorder="little")
-    inter = np.logical_and(bits_sq, bits_r).sum(-1)
-    union = np.logical_or(bits_sq, bits_r).sum(-1)
-    iou_masks = inter / np.maximum(union, 1)
-    print(f"decoded-mask IoU square-vs-rect per box: {np.round(iou_masks[0], 4)}")
-    print(f"iou-prediction delta: {np.abs(iou_sq - iou_r).max():.5f}")
+    for t in temps:
+        emb_sq, packed_sq, iou_sq = results[("0", t)]
+        emb_r, packed_r, iou_r = results[("1", t)]
+        gh, gw = emb_r.shape[1], emb_r.shape[2]
+        valid_sq = emb_sq[:, :gh, :gw]
+        rel = np.linalg.norm(emb_r - valid_sq) / (np.linalg.norm(valid_sq) + 1e-12)
+        bits_sq = np.unpackbits(packed_sq, axis=-1, bitorder="little")
+        bits_r = np.unpackbits(packed_r, axis=-1, bitorder="little")
+        inter = np.logical_and(bits_sq, bits_r).sum(-1)
+        union = np.logical_or(bits_sq, bits_r).sum(-1)
+        iou_masks = inter / np.maximum(union, 1)
+        tag = "" if t == 1.0 else f" [attn temp x{t:g}]"
+        print(f"embedding rel L2 over valid {gh}x{gw} region{tag}: {rel:.4f}")
+        print(f"decoded-mask IoU square-vs-rect per box{tag}: "
+              f"{np.round(iou_masks[0], 4)}")
+        print(f"iou-prediction delta{tag}: {np.abs(iou_sq - iou_r).max():.5f}")
 
 
 if __name__ == "__main__":
