@@ -304,9 +304,17 @@ def fast_pipeline_wall_clock(models, fast_models, small):
     cfg, n_frames = _bench_scene_cfg(small, extra_detector={"kind": "yolo_world"})
     seg = Segmentor2D(cfg, detector=fast_models["yolo"], sam=fast_models["esam"],
                       clip_model=models["clip"], clip_tokenizer=models["clip_tok"])
-    if getattr(seg.detector, "clip", None) is None:
-        seg.detector.clip = models["clip"]
-        seg.detector.clip_tokenizer = models["clip_tok"]
+    # The detector's guide embeddings must match cfg.text_dim (512 for "l",
+    # the CLIP-base tower of official YOLO-World) — the headline ViT-L/14
+    # tower (768) doesn't fit, and without a matching tower the detector
+    # falls back to deterministic hash embeddings of the right width. The
+    # injected ViT-L/14 still serves the crop filter (reference parity:
+    # bbox_filter uses ViT-L/14 in the YOLO variant too).
+    yw = fast_models["yolo"]
+    if (getattr(yw, "clip", None) is None
+            and getattr(models["clip"].cfg, "embed_dim", None) == yw.cfg.text_dim):
+        yw.clip = models["clip"]
+        yw.clip_tokenizer = models["clip_tok"]
     return _measure_pipeline(seg, cfg, n_frames, hit_rate, "fast-pipeline")
 
 

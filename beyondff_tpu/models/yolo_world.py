@@ -357,6 +357,12 @@ class YOLOWorld:
         else:
             toks = self.clip_tokenizer(list(classes))
             feats = np.asarray(self.clip.encode_text(toks), np.float32)
+            if feats.shape[-1] != self.cfg.text_dim:
+                raise ValueError(
+                    f"YOLO-World guide embeddings must be {self.cfg.text_dim}-d "
+                    f"(cfg.text_dim), got {feats.shape[-1]} from the attached CLIP "
+                    "tower — official YOLO-World guides on the CLIP-base (512-d) "
+                    "text encoder, not ViT-L/14")
         feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
         self._text_cache[key] = feats
         return feats

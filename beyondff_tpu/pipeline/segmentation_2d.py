@@ -70,9 +70,18 @@ class Segmentor2D:
                 self.clip, self.clip_tokenizer = self._load_clip()
         self.detector = detector if detector is not None else self._load_detector()
         if det_cfg.kind == "yolo_world" and getattr(self.detector, "clip", None) is None:
-            # YOLO-World derives class embeddings from the CLIP text tower
-            self.detector.clip = self.clip
-            self.detector.clip_tokenizer = self.clip_tokenizer
+            # YOLO-World derives class embeddings from a CLIP text tower, but
+            # only one whose width matches cfg.text_dim (official YOLO-World
+            # guides on CLIP-base, 512-d). A wider pipeline tower (e.g. the
+            # ViT-L/14 used by the crop filter, 768-d) must NOT be attached —
+            # the detector then falls back to hash embeddings of the right
+            # width (reference: yolo_world uses its own text encoder while
+            # bbox_filter uses ViT-L/14).
+            det_text_dim = getattr(getattr(self.detector, "cfg", None), "text_dim", None)
+            clip_dim = getattr(getattr(self.clip, "cfg", None), "embed_dim", None)
+            if det_text_dim is None or clip_dim == det_text_dim:
+                self.detector.clip = self.clip
+                self.detector.clip_tokenizer = self.clip_tokenizer
         self.sam = sam if sam is not None else self._load_sam()
         self._query_embedding_cache: Dict[str, np.ndarray] = {}
 

@@ -282,3 +282,46 @@ def test_yolo_process_scene_device_frames(tmp_path):
         m = np.asarray(r["segmented_frame_masks"])
         assert m.shape[1:] == (1, 48, 64) and m.dtype == bool
         assert len(r["confidences"]) == m.shape[0] == len(r["labels"])
+
+
+def test_yolo_mismatched_clip_tower_not_attached():
+    """A pipeline CLIP tower wider than the detector's guide dim (ViT-L/14 is
+    768-d; official YOLO-World guides on CLIP-base, 512-d) must not be
+    attached as the guide encoder — the detector keeps its hash-embedding
+    fallback of the right width. A matching tower still attaches."""
+    from beyondff_tpu.models import yolo_world
+
+    cfg = Config.from_dict({
+        "frames": {"width_2d": 64, "height_2d": 48},
+        "detector": {"kind": "yolo_world", "box_threshold": 0.0,
+                     "must_match_query": False, "similarity_threshold": -1.0,
+                     "max_detections": 4, "dtype": "float32",
+                     "filter_with_clip": False},
+    })
+    yw = yolo_world.YOLOWorld.create("test")  # text_dim 32
+
+    class WideClipCfg:
+        embed_dim = yw.cfg.text_dim + 7
+
+    class WideClip:
+        cfg = WideClipCfg()
+
+    seg = Segmentor2D(cfg, detector=yw, clip_model=WideClip(),
+                      clip_tokenizer=lambda names: names)
+    assert seg.detector.clip is None
+    feats = seg.detector.class_embeddings(["chair"])
+    assert feats.shape == (1, yw.cfg.text_dim)
+
+    class GoodClipCfg:
+        embed_dim = yw.cfg.text_dim
+
+    class GoodClip:
+        cfg = GoodClipCfg()
+
+        def encode_text(self, toks):
+            return np.ones((len(toks), yw.cfg.text_dim), np.float32)
+
+    yw2 = yolo_world.YOLOWorld.create("test")
+    seg2 = Segmentor2D(cfg, detector=yw2, clip_model=GoodClip(),
+                       clip_tokenizer=lambda names: names)
+    assert seg2.detector.clip is not None

@@ -50,3 +50,26 @@ def test_predict_interface(tiny_yw):
     assert boxes.shape[1] == 4 and len(phrases) == boxes.shape[0]
     assert np.all(boxes >= 0) and np.all(boxes <= 1)
     assert all(p == "clothes" for p in phrases)
+
+
+def test_class_embeddings_dim_guard(tiny_yw):
+    """A CLIP tower whose embed dim doesn't match cfg.text_dim must raise a
+    clear error instead of a flax shape mismatch deep in the forward; with no
+    tower attached the hash fallback produces the right width."""
+    feats = tiny_yw.class_embeddings(["chair", "table"])
+    assert feats.shape == (2, tiny_yw.cfg.text_dim)
+    assert np.allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-5)
+
+    class WrongClip:
+        def encode_text(self, toks):
+            return np.zeros((len(toks), tiny_yw.cfg.text_dim + 7), np.float32)
+
+    tiny_yw.clip = WrongClip()
+    tiny_yw.clip_tokenizer = lambda names: names
+    try:
+        with pytest.raises(ValueError, match="guide embeddings"):
+            tiny_yw.class_embeddings(["sofa"])
+    finally:
+        tiny_yw.clip = None
+        tiny_yw.clip_tokenizer = None
+        tiny_yw._text_cache.clear()
