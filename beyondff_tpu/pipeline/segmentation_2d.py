@@ -436,12 +436,41 @@ class Segmentor2D:
                          and hasattr(self.detector, "predict_batch_frames_async")
                          and hasattr(self.sam, "encode_frames"))
 
+        # Two-tier upload: when the detector's input is SMALLER than the
+        # SAM-scaled frame (YOLO-World's 640x640 vs the 1024-long-side SAM
+        # buffer; not GDINO's 800x1072), upload only the detector-scale
+        # buffer per frame and defer the SAM-scale upload to frames that
+        # actually detect. Misses (the common case) then cost ~1.9x less
+        # host->device traffic, and the detector input becomes ONE host
+        # cv2.resize of the raw frame — the same chain as the blocking
+        # reference path (segmentation_2d_yolo_world.py:195-210) instead of
+        # the double bilinear (frame -> SAM scale -> detector scale).
+        # BFF_SEG2D_TWO_TIER=1/0 forces it; default: auto by byte count.
+        det_hw = getattr(getattr(self.detector, "cfg", None), "img_size", None) \
+            or getattr(getattr(self.detector, "cfg", None), "image_size", None)
+        two_tier = False
+        if device_frames and det_hw is not None:
+            sam_long = getattr(self.sam.cfg, "img_size", 1024)
+            scale = sam_long / max(frame_hw)
+            sam_bytes = round(frame_hw[0] * scale) * round(frame_hw[1] * scale)
+            mode = os.environ.get("BFF_SEG2D_TWO_TIER", "auto")
+            two_tier = (det_hw[0] * det_hw[1] < sam_bytes) if mode == "auto" \
+                else mode == "1"
+
         def load(fid):
             img = bio.load_image(
                 os.path.join(p.scene_2d_dir, scene_id, "color", f"{fid}.jpg"), size=size)
             if device_frames:
                 import jax.numpy as jnp
 
+                if two_tier:
+                    import cv2
+
+                    det_img = cv2.resize(img, (det_hw[1], det_hw[0]),
+                                         interpolation=cv2.INTER_LINEAR)
+                    # upload (prefetch thread): detector-scale only; the
+                    # SAM-scale buffer uploads lazily for frames with boxes
+                    return fid, img, None, jnp.asarray(det_img)
                 small, input_hw = self.sam.scale_frame(img)
                 # upload starts here, in the prefetch thread (async dispatch)
                 return fid, small, input_hw, jnp.asarray(small)
@@ -539,6 +568,18 @@ class Segmentor2D:
             idx = [i for i, p in enumerate(pre) if p is not None]
             if not idx:
                 return
+            if two_tier:
+                # frames with boxes pay their SAM-scale upload now (the
+                # detector ran from the smaller detector-scale buffer);
+                # misses never upload SAM-scale at all
+                import jax.numpy as jnp
+
+                with _span("sam_upload"):
+                    sam_devs = {}
+                    for i in idx:
+                        small_i, input_hw = self.sam.scale_frame(smalls[i])
+                        sam_devs[i] = jnp.asarray(small_i)
+                devs = sam_devs
             embs = None
             if eager_sam:
                 # SAM encode dispatches BEFORE the CLIP crop filter: the

@@ -325,3 +325,41 @@ def test_yolo_mismatched_clip_tower_not_attached():
     seg2 = Segmentor2D(cfg, detector=yw2, clip_model=GoodClip(),
                        clip_tokenizer=lambda names: names)
     assert seg2.detector.clip is not None
+
+
+def test_yolo_two_tier_upload_matches_classic(tmp_path, monkeypatch):
+    """BFF_SEG2D_TWO_TIER=1 (detector-scale upload + lazy SAM-scale upload
+    for hit frames) must emit identical records to the classic single-upload
+    path. Frames at the detector/SAM resolution make every resize an
+    identity, so the comparison is exact and validates the plumbing (lazy
+    uploads, per-frame input_hw, dict-indexed SAM buffers)."""
+    import cv2
+
+    rng = np.random.default_rng(13)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(5):
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    cfg = Config.from_dict({
+        "paths": {"scene_2d_dir": str(tmp_path)},
+        "frames": {"width_2d": 64, "height_2d": 64, "downsample_ratio": 1},
+        "detector": {"kind": "yolo_world", "box_threshold": -1.0,
+                     "must_match_query": False, "similarity_threshold": -10.0,
+                     "max_detections": 4, "dtype": "float32", "frame_batch": 2,
+                     "filter_with_clip": False},
+    })
+    seg = Segmentor2D(cfg)
+
+    monkeypatch.setenv("BFF_SEG2D_TWO_TIER", "0")
+    classic = seg.process_scene("scene0000_00", "clothes")
+    monkeypatch.setenv("BFF_SEG2D_TWO_TIER", "1")
+    two_tier = seg.process_scene("scene0000_00", "clothes")
+
+    assert len(classic) == len(two_tier) > 0
+    for a, b in zip(classic, two_tier):
+        assert a["frame_id"] == b["frame_id"]
+        assert a["labels"] == b["labels"]
+        np.testing.assert_array_equal(a["segmented_frame_masks"],
+                                      b["segmented_frame_masks"])
+        np.testing.assert_allclose(a["confidences"], b["confidences"], rtol=1e-6)
