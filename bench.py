@@ -585,15 +585,32 @@ def main():
     fps_device, mfu_records = device_compute(models, iters)
     fps_fast = fps_fast_pipeline = None
     fast_models = None
+
+    def _optional(name, fn):
+        """Secondary sections must never kill the headline JSON line (a
+        round-4 fast-pipeline crash aborted a full bench run)."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - report and continue
+            log(f"SECTION FAILED ({name}): {type(e).__name__}: {e}")
+            return None
+
     if os.environ.get("BFF_BENCH_FAST_VARIANT", "1") != "0":
-        fps_fast, fast_mfu, fast_models = fast_variant_compute(iters, dtype, small)
-        mfu_records.extend(fast_mfu)
+        fast = _optional("fast_variant_compute",
+                         lambda: fast_variant_compute(iters, dtype, small))
+        if fast is not None:
+            fps_fast, fast_mfu, fast_models = fast
+            mfu_records.extend(fast_mfu)
     fps_pipeline = pipeline_wall_clock(models, small)
     if fast_models is not None and os.environ.get("BFF_BENCH_FAST_PIPELINE", "1") != "0":
-        fps_fast_pipeline = fast_pipeline_wall_clock(models, fast_models, small)
+        fps_fast_pipeline = _optional(
+            "fast_pipeline",
+            lambda: fast_pipeline_wall_clock(models, fast_models, small))
     proj_e2e = proj_device = None
     if os.environ.get("BFF_BENCH_PROJ", "0" if small else "1") != "0":
-        proj_e2e, proj_device = projection_bench(small)
+        proj = _optional("projection_bench", lambda: projection_bench(small))
+        if proj is not None:
+            proj_e2e, proj_device = proj
     log(f"summary: device-compute {fps_device:.2f} f/s, "
         f"pipeline composite {fps_pipeline:.2f} f/s"
         + (f", fast-variant device {fps_fast:.2f} f/s" if fps_fast else "")
