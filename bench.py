@@ -40,6 +40,31 @@ def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def link_probe(mb: int = 8, rounds: int = 2):
+    """Measure host->device and device->host tunnel bandwidth (MB/s).
+
+    The pipeline composites are link-sensitive (frame uploads serialize on
+    the tunnel, which co-tenancy can degrade from ~65 to ~13 MB/s within a
+    session — ARCHITECTURE.md); recording the measured bandwidth alongside
+    the throughput numbers makes link-bound sections interpretable."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.random.randint(0, 255, (mb * 1024 * 1024,), np.uint8)
+    up = down = 0.0
+    for _ in range(rounds):
+        t0 = time.time()
+        dev = jnp.asarray(buf)
+        # fence: a tiny reduce fetched to host proves the upload landed
+        float(jax.device_get(dev[:: 1024 * 1024].sum()))
+        up = max(up, mb / (time.time() - t0))
+        t0 = time.time()
+        np.asarray(jax.device_get(dev))
+        down = max(down, mb / (time.time() - t0))
+    log(f"link probe: upload {up:.1f} MB/s, download {down:.1f} MB/s (best of {rounds})")
+    return round(up, 1), round(down, 1)
+
+
 def timed(name, fn, sync, iters):
     """Best of two measurement rounds: the shared/tunneled chip occasionally
     degrades ~20x for minutes at a time (observed twice in one session);
@@ -582,6 +607,11 @@ def main():
         "clip_tok": HashTokenizer(clip.cfg.vocab_size, clip.cfg.context_length),
     }
 
+    try:
+        link_up, link_down = link_probe()
+    except Exception as e:  # noqa: BLE001 - diagnostic only, never fatal
+        log(f"SECTION FAILED (link_probe): {type(e).__name__}: {e}")
+        link_up = link_down = None
     fps_device, mfu_records = device_compute(models, iters)
     fps_fast = fps_fast_pipeline = None
     fast_models = None
@@ -630,6 +660,8 @@ def main():
         "projection_scenes_per_min_e2e": round(proj_e2e, 2) if proj_e2e else None,
         "projection_scenes_per_min_device": (round(proj_device, 2)
                                              if proj_device else None),
+        "link_upload_mb_s": link_up,
+        "link_download_mb_s": link_down,
         "mfu": mfu_records,
     }
     print(json.dumps({

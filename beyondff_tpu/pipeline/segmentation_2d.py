@@ -457,12 +457,19 @@ class Segmentor2D:
             two_tier = (det_hw[0] * det_hw[1] < sam_bytes) if mode == "auto" \
                 else mode == "1"
 
+        # YCrCb 4:2:0 frame transport (default on): frames cross the link at
+        # 1.5 B/px instead of 3 — the miss regime is upload-bound, and the
+        # JPEG sources already store 4:2:0 chroma so the subsample carries
+        # ~all the file's information (core/color.py). BFF_SEG2D_YUV=0
+        # restores dense RGB uploads (bit-identical pixels) for A/B.
+        yuv = device_frames and os.environ.get("BFF_SEG2D_YUV", "1") != "0"
+        if device_frames:
+            from beyondff_tpu.core import color as _color
+
         def load(fid):
             img = bio.load_image(
                 os.path.join(p.scene_2d_dir, scene_id, "color", f"{fid}.jpg"), size=size)
             if device_frames:
-                import jax.numpy as jnp
-
                 if two_tier:
                     import cv2
 
@@ -470,10 +477,10 @@ class Segmentor2D:
                                          interpolation=cv2.INTER_LINEAR)
                     # upload (prefetch thread): detector-scale only; the
                     # SAM-scale buffer uploads lazily for frames with boxes
-                    return fid, img, None, jnp.asarray(det_img)
+                    return fid, img, None, _color.upload_frame(det_img, yuv=yuv)
                 small, input_hw = self.sam.scale_frame(img)
                 # upload starts here, in the prefetch thread (async dispatch)
-                return fid, small, input_hw, jnp.asarray(small)
+                return fid, small, input_hw, _color.upload_frame(small, yuv=yuv)
             return fid, img
 
         from beyondff_tpu.utils.prefetch import prefetch_map
@@ -572,13 +579,11 @@ class Segmentor2D:
                 # frames with boxes pay their SAM-scale upload now (the
                 # detector ran from the smaller detector-scale buffer);
                 # misses never upload SAM-scale at all
-                import jax.numpy as jnp
-
                 with _span("sam_upload"):
                     sam_devs = {}
                     for i in idx:
                         small_i, input_hw = self.sam.scale_frame(smalls[i])
-                        sam_devs[i] = jnp.asarray(small_i)
+                        sam_devs[i] = _color.upload_frame(small_i, yuv=yuv)
                 devs = sam_devs
             embs = None
             if eager_sam:
