@@ -46,6 +46,16 @@ def _stack_jit(n: int):
     return jax.jit(lambda *xs: jnp.stack(xs))
 
 
+@_lru_cache(maxsize=1)
+def _take_jit():
+    """Jitted row gather: narrow an already-batched device frame buffer to a
+    subset of frames in ONE dispatch (the batched-upload path's counterpart
+    of restacking per-frame buffers)."""
+    import jax
+
+    return jax.jit(lambda x, i: x[i])
+
+
 def box_cxcywh_to_xyxy(boxes: np.ndarray, w: int, h: int) -> np.ndarray:
     """Normalized cxcywh -> absolute xyxy (reference: box_ops + scaling)."""
     cx, cy, bw, bh = boxes.T
@@ -463,6 +473,15 @@ class Segmentor2D:
         # ~all the file's information (core/color.py). BFF_SEG2D_YUV=0
         # restores dense RGB uploads (bit-identical pixels) for A/B.
         yuv = device_frames and os.environ.get("BFF_SEG2D_YUV", "1") != "0"
+        # Batched frame uploads (default on): ONE host->device transfer per
+        # detection batch instead of one per frame. The tunneled link pays a
+        # ~27 ms fixed cost per transfer and does not pipeline back-to-back
+        # transfers (tools/probe_link.py), so B per-frame uploads cost B
+        # round-trips where one batched upload costs one — the dominant
+        # upload cost for the fast (YOLO-World) variant whose frames are
+        # small. BFF_SEG2D_BATCH_UPLOAD=0 restores per-frame uploads.
+        batch_upload = (device_frames
+                        and os.environ.get("BFF_SEG2D_BATCH_UPLOAD", "1") != "0")
         if device_frames:
             from beyondff_tpu.core import color as _color
 
@@ -482,6 +501,24 @@ class Segmentor2D:
                 # upload starts here, in the prefetch thread (async dispatch)
                 return fid, small, input_hw, _color.upload_frame(small, yuv=yuv)
             return fid, img
+
+        def load_chunk(fids):
+            """Batched-upload loader: decode + scale a whole detection batch
+            on the host, then ship it as ONE device transfer."""
+            imgs = [bio.load_image(
+                os.path.join(p.scene_2d_dir, scene_id, "color", f"{fid}.jpg"),
+                size=size) for fid in fids]
+            if two_tier:
+                import cv2
+
+                det_imgs = [cv2.resize(im, (det_hw[1], det_hw[0]),
+                                       interpolation=cv2.INTER_LINEAR)
+                            for im in imgs]
+                return (list(fids), imgs, None,
+                        _color.upload_frames(det_imgs, yuv=yuv))
+            pairs = [self.sam.scale_frame(im) for im in imgs]
+            return (list(fids), [pr[0] for pr in pairs], pairs[0][1],
+                    _color.upload_frames([pr[0] for pr in pairs], yuv=yuv))
 
         from beyondff_tpu.utils.prefetch import prefetch_map
 
@@ -527,13 +564,20 @@ class Segmentor2D:
             return cm()
 
         def dispatch_detection():
-            fids = [b[0] for b in buf]
-            smalls = [b[1] for b in buf]
-            input_hw = buf[0][2]
-            devs = [b[3] for b in buf]
+            if batch_upload:
+                # each buf item is a whole chunk, already device-batched
+                fids, smalls, input_hw, devs = buf[0]
+                frames_dev = devs
+            else:
+                fids = [b[0] for b in buf]
+                smalls = [b[1] for b in buf]
+                input_hw = buf[0][2]
+                devs = [b[3] for b in buf]
+                frames_dev = None
             with _span("det_dispatch"):
-                handle = self.detector.predict_batch_frames_async(
-                    _stack_jit(len(devs))(*devs), query)
+                if frames_dev is None:
+                    frames_dev = _stack_jit(len(devs))(*devs)
+                handle = self.detector.predict_batch_frames_async(frames_dev, query)
                 try:
                     # start the packed-result D2H as soon as detection lands,
                     # overlapping the transfer with the queued SAM/CLIP work
@@ -580,11 +624,36 @@ class Segmentor2D:
                 # detector ran from the smaller detector-scale buffer);
                 # misses never upload SAM-scale at all
                 with _span("sam_upload"):
-                    sam_devs = {}
-                    for i in idx:
-                        small_i, input_hw = self.sam.scale_frame(smalls[i])
-                        sam_devs[i] = _color.upload_frame(small_i, yuv=yuv)
-                devs = sam_devs
+                    if batch_upload:
+                        pairs = [self.sam.scale_frame(smalls[i]) for i in idx]
+                        input_hw = pairs[0][1]
+                        sam_batch = _color.upload_frames(
+                            [pr[0] for pr in pairs], yuv=yuv)
+                        pos_of = {i: j for j, i in enumerate(idx)}
+
+                        def enc_input(indices):
+                            if len(indices) == len(idx):
+                                return sam_batch
+                            return _take_jit()(sam_batch, np.asarray(
+                                [pos_of[i] for i in indices], np.int32))
+                    else:
+                        sam_devs = {}
+                        for i in idx:
+                            small_i, input_hw = self.sam.scale_frame(smalls[i])
+                            sam_devs[i] = _color.upload_frame(small_i, yuv=yuv)
+
+                        def enc_input(indices):
+                            return _stack_jit(len(indices))(
+                                *[sam_devs[i] for i in indices])
+            elif batch_upload:
+                # devs is the whole chunk's (B, h, w, 3) device buffer
+                def enc_input(indices):
+                    if len(indices) == devs.shape[0]:
+                        return devs
+                    return _take_jit()(devs, np.asarray(indices, np.int32))
+            else:
+                def enc_input(indices):
+                    return _stack_jit(len(indices))(*[devs[i] for i in indices])
             embs = None
             if eager_sam:
                 # SAM encode dispatches BEFORE the CLIP crop filter: the
@@ -593,8 +662,7 @@ class Segmentor2D:
                 # every box the CLIP filter drops has paid its encode;
                 # detection-empty frames never encode either way.
                 with _span("sam_encode_dispatch"):
-                    embs = self.sam.encode_frames(
-                        _stack_jit(len(idx))(*[devs[i] for i in idx]))
+                    embs = self.sam.encode_frames(enc_input(idx))
             feats_dev = n_crops = counts = None
             if self.clip is not None and d.filter_with_clip:
                 with _span("crop_build"):
@@ -607,11 +675,11 @@ class Segmentor2D:
                 if crops:
                     with _span("clip_dispatch"):
                         feats_dev, n_crops = self._clip_sims_dispatch(crops)
-            bq.append((fids, smalls, input_hw, devs, idx, pre,
+            bq.append((fids, smalls, input_hw, enc_input, idx, pre,
                        embs, feats_dev, n_crops, counts))
 
         def stage_b():
-            (fids, smalls, input_hw, devs, idx, pre,
+            (fids, smalls, input_hw, enc_input, idx, pre,
              embs, feats_dev, n_crops, counts) = bq.pop(0)
             dets_by_i = {}
             if feats_dev is not None:
@@ -637,8 +705,7 @@ class Segmentor2D:
                 return
             if embs is None:
                 with _span("sam_encode_dispatch"):
-                    embs = self.sam.encode_frames(
-                        _stack_jit(len(kept_idx))(*[devs[i] for i in kept_idx]))
+                    embs = self.sam.encode_frames(enc_input(kept_idx))
             elif len(kept_idx) < len(idx):
                 # narrow the eager-encoded embeddings to frames that still
                 # have boxes after the CLIP filter: an entirely-dropped frame
@@ -704,17 +771,30 @@ class Segmentor2D:
         # >1 loader threads let JPEG decode (releases the GIL) overlap the
         # upload RPC's network wait even on the one-core host
         workers = int(os.environ.get("BFF_SEG2D_WORKERS", "1"))
-        it = iter(prefetch_map(load, frame_ids, depth=depth, workers=workers))
-        while True:
-            with _span("prefetch_wait"):
-                item = next(it, None)
-            if item is None:
-                break
-            buf.append(item)
-            if len(buf) == max(1, d.frame_batch):
+        if batch_upload:
+            bsz = max(1, d.frame_batch)
+            chunks = [frame_ids[i:i + bsz] for i in range(0, len(frame_ids), bsz)]
+            it = iter(prefetch_map(load_chunk, chunks,
+                                   depth=max(1, depth // bsz), workers=workers))
+            while True:
+                with _span("prefetch_wait"):
+                    item = next(it, None)
+                if item is None:
+                    break
+                buf.append(item)
                 flush()
-        if buf:
-            flush()
+        else:
+            it = iter(prefetch_map(load, frame_ids, depth=depth, workers=workers))
+            while True:
+                with _span("prefetch_wait"):
+                    item = next(it, None)
+                if item is None:
+                    break
+                buf.append(item)
+                if len(buf) == max(1, d.frame_batch):
+                    flush()
+            if buf:
+                flush()
         while pending:
             stage_a()
         while bq:

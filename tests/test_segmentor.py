@@ -363,3 +363,48 @@ def test_yolo_two_tier_upload_matches_classic(tmp_path, monkeypatch):
         np.testing.assert_array_equal(a["segmented_frame_masks"],
                                       b["segmented_frame_masks"])
         np.testing.assert_allclose(a["confidences"], b["confidences"], rtol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["gdino", "yolo_world"])
+def test_batch_upload_matches_per_frame(tmp_path, monkeypatch, kind):
+    """BFF_SEG2D_BATCH_UPLOAD=1 (one host->device transfer per detection
+    batch, chunked prefetch, jitted subset gather) must emit identical
+    records to per-frame uploads — in both detector modes (YOLO-World also
+    exercises the two-tier lazy SAM-scale batch upload) and with a tail
+    chunk smaller than frame_batch."""
+    import cv2
+
+    rng = np.random.default_rng(29)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(5):  # frame_batch=2 -> tail chunk of 1
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    det = {"box_threshold": -1.0 if kind == "yolo_world" else 0.0,
+           "must_match_query": False, "similarity_threshold": -10.0,
+           "max_detections": 4, "dtype": "float32", "frame_batch": 2,
+           "filter_with_clip": kind == "gdino"}
+    if kind == "yolo_world":
+        det["kind"] = "yolo_world"
+    cfg = Config.from_dict({
+        "paths": {"scene_2d_dir": str(tmp_path)},
+        "frames": {"width_2d": 64, "height_2d": 64, "downsample_ratio": 1},
+        "detector": det,
+    })
+    seg = Segmentor2D(cfg)
+
+    if kind == "yolo_world":
+        # force the two-tier path so the lazy SAM-scale BATCH upload runs
+        monkeypatch.setenv("BFF_SEG2D_TWO_TIER", "1")
+    monkeypatch.setenv("BFF_SEG2D_BATCH_UPLOAD", "0")
+    per_frame = seg.process_scene("scene0000_00", "clothes")
+    monkeypatch.setenv("BFF_SEG2D_BATCH_UPLOAD", "1")
+    batched = seg.process_scene("scene0000_00", "clothes")
+
+    assert len(per_frame) == len(batched) > 0
+    for a, b in zip(per_frame, batched):
+        assert a["frame_id"] == b["frame_id"]
+        assert a["labels"] == b["labels"]
+        np.testing.assert_array_equal(a["segmented_frame_masks"],
+                                      b["segmented_frame_masks"])
+        np.testing.assert_allclose(a["confidences"], b["confidences"], rtol=1e-6)
