@@ -473,15 +473,18 @@ class Segmentor2D:
         # ~all the file's information (core/color.py). BFF_SEG2D_YUV=0
         # restores dense RGB uploads (bit-identical pixels) for A/B.
         yuv = device_frames and os.environ.get("BFF_SEG2D_YUV", "1") != "0"
-        # Batched frame uploads (default on): ONE host->device transfer per
-        # detection batch instead of one per frame. The tunneled link pays a
-        # ~27 ms fixed cost per transfer and does not pipeline back-to-back
-        # transfers (tools/probe_link.py), so B per-frame uploads cost B
-        # round-trips where one batched upload costs one — the dominant
-        # upload cost for the fast (YOLO-World) variant whose frames are
-        # small. BFF_SEG2D_BATCH_UPLOAD=0 restores per-frame uploads.
-        batch_upload = (device_frames
-                        and os.environ.get("BFF_SEG2D_BATCH_UPLOAD", "1") != "0")
+        # Batched frame uploads (default AUTO = two-tier mode only): ONE
+        # host->device transfer per detection batch instead of one per frame.
+        # The tunneled link pays a ~28 ms fixed cost per transfer
+        # (tools/probe_link.py), which dominates for SMALL frames — measured
+        # on the fast variant's 640x640 buffers it wins 2/3 paired hit rounds
+        # and the best miss round; on GDINO's 2.4 MB SAM-scale buffers it
+        # LOSES ~5% (per-frame uploads interleave with JPEG decode at finer
+        # grain and stream under compute), so auto enables it exactly where
+        # two_tier is on. BFF_SEG2D_BATCH_UPLOAD=1/0 forces either way.
+        bu_mode = os.environ.get("BFF_SEG2D_BATCH_UPLOAD", "auto")
+        batch_upload = device_frames and (
+            two_tier if bu_mode == "auto" else bu_mode == "1")
         if device_frames:
             from beyondff_tpu.core import color as _color
 
