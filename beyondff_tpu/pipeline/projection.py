@@ -342,8 +342,13 @@ def lift_scene_streamed(
 
 
 def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str] = None,
-                  prof=None) -> Dict:
-    """Run the full projection stage for one (class, scene); writes the output."""
+                  prof=None, depth_bank: Optional[Dict] = None) -> Dict:
+    """Run the full projection stage for one (class, scene); writes the output.
+
+    ``depth_bank``: optional {frame_id: raw uint16 depth DEVICE buffer} shared
+    across classes of the same scene (see :func:`run_classes`) — the scene's
+    ~184 MB of depth then crosses the host->device link once per SCENE instead
+    of once per (class, scene). Filled lazily by the first class's prefetch."""
     from beyondff_tpu.utils.profiling import StageProfiler
 
     prof = prof or StageProfiler("projection")
@@ -430,10 +435,15 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
         rec = by_frame.get(fid)
         if need_viewed or rec is not None:
             if device_resize:
-                # upload starts here, in the prefetch thread: the async
-                # dispatch overlaps the transfer with device compute (the
-                # main-thread batch upload left the device idle-waiting)
-                f["depth_dev"] = jnp.asarray(_depth_raw(fid))
+                dev = depth_bank.get(fid) if depth_bank is not None else None
+                if dev is None:
+                    # upload starts here, in the prefetch thread: the async
+                    # dispatch overlaps the transfer with device compute (the
+                    # main-thread batch upload left the device idle-waiting)
+                    dev = jnp.asarray(_depth_raw(fid))
+                    if depth_bank is not None:
+                        depth_bank[fid] = dev
+                f["depth_dev"] = dev
             else:
                 f["depth"] = reader.depth(fid, size=size)
         if rec is not None:
@@ -505,5 +515,55 @@ def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None, re
         results.append(project_scene(cfg, class_name, scene_id, prof=prof))
         ckpt.mark(scene_id)
     if results:
+        print(prof.report())
+    return results
+
+
+def run_classes(cfg: Config, class_names: Sequence[str],
+                scenes: Optional[Sequence[str]] = None,
+                resume: bool = True) -> Dict[str, List[Dict]]:
+    """Multi-class projection with SCENE-OUTER ordering: each scene's depth
+    uploads to the device once and is shared by every class's lift via a
+    per-scene ``depth_bank``.
+
+    The reference sweep loops classes outer (run_evl.py:103-118), so a
+    142-scene x ~120-class sweep re-reads and re-ships ~184 MB of depth per
+    (class, scene) — on a TPU host the link is the projection stage's
+    dominant cost (ARCHITECTURE.md), so amortizing the upload across classes
+    makes the sweep's projection stage device-bound instead of link-bound.
+    Per-(class, scene) checkpoints are identical to :func:`run`, so the two
+    drivers can resume each other's partial sweeps."""
+    per_class_scenes: Dict[str, set] = {}
+    for c in class_names:
+        seg_dir = os.path.join(cfg.paths.mask_2d_dir, c)
+        if scenes is not None:
+            per_class_scenes[c] = set(scenes)
+        elif os.path.isdir(seg_dir):
+            per_class_scenes[c] = {
+                f.rsplit(".", 1)[0] for f in os.listdir(seg_dir)
+                if f.endswith((".pth", ".npz"))
+            }
+        else:
+            per_class_scenes[c] = set()
+    all_scenes = sorted(set().union(*per_class_scenes.values()))
+
+    from beyondff_tpu.utils.profiling import StageProfiler
+
+    prof = StageProfiler("projection")
+    ckpts = {c: SceneCheckpoint(cfg.paths.checkpoint_dir, "projection_2d_to_3d", c)
+             for c in class_names}
+    results: Dict[str, List[Dict]] = {c: [] for c in class_names}
+    for scene_id in all_scenes:
+        todo = [c for c in class_names
+                if scene_id in per_class_scenes[c]
+                and not (resume and ckpts[c].done(scene_id))]
+        if not todo:
+            continue
+        depth_bank: Dict = {}  # lives for this scene only (~184 MB on device)
+        for c in todo:
+            results[c].append(project_scene(cfg, c, scene_id, prof=prof,
+                                            depth_bank=depth_bank))
+            ckpts[c].mark(scene_id)
+    if any(results.values()):
         print(prof.report())
     return results

@@ -247,3 +247,43 @@ def test_full_chain_seg2d_to_eval(tmp_path):
     avgs = evaluate.run(cfg, "clothes", verbose=False)
     ap = avgs["classes"]["clothes"]["ap"]
     assert np.isfinite(ap) or np.isnan(ap)  # random boxes: any valid AP value
+
+
+def test_run_classes_matches_per_class(tmp_path):
+    """Scene-outer multi-class projection (projection.run_classes: each
+    scene's depth uploads once into a shared bank and serves every class)
+    must write identical stage outputs to per-class projection.run, and its
+    per-(class, scene) checkpoints must resume exactly like the per-class
+    driver's."""
+    import shutil
+
+    import make_synthetic_scene
+
+    cfg = Config.from_yaml(
+        make_synthetic_scene.generate(str(tmp_path), query="clothes", seed=7))
+    # a second class with its own (identical) 2D-stage outputs
+    shutil.copytree(os.path.join(cfg.paths.mask_2d_dir, "clothes"),
+                    os.path.join(cfg.paths.mask_2d_dir, "towel"))
+
+    ref = {}
+    for c in ("clothes", "towel"):
+        projection.run(cfg, c, resume=False)
+        ref[c] = bio.load_stage_dict(
+            os.path.join(cfg.paths.mask_3d_dir, c, "scene0000_00.pth"))
+
+    shutil.rmtree(cfg.paths.mask_3d_dir)
+    results = projection.run_classes(cfg, ["clothes", "towel"], resume=False)
+    assert len(results["clothes"]) == len(results["towel"]) == 1
+    for c in ("clothes", "towel"):
+        out = bio.load_stage_dict(
+            os.path.join(cfg.paths.mask_3d_dir, c, "scene0000_00.pth"))
+        np.testing.assert_array_equal(np.asarray(out["ins"]),
+                                      np.asarray(ref[c]["ins"]))
+        np.testing.assert_allclose(np.asarray(out["conf"]),
+                                   np.asarray(ref[c]["conf"]))
+        assert list(out["final_class"]) == list(ref[c]["final_class"])
+
+    # every (class, scene) checkpointed by the scene-outer driver -> resume
+    # skips all work, same contract as projection.run
+    again = projection.run_classes(cfg, ["clothes", "towel"], resume=True)
+    assert again == {"clothes": [], "towel": []}

@@ -19,21 +19,31 @@ from beyondff_tpu.pipeline import projection
 def main():
     ap = argparse.ArgumentParser(description="BeyondFF-TPU 2D->3D projection stage")
     ap.add_argument("--config", required=True, help="path to config YAML")
-    ap.add_argument("--cls", required=True, help="text query / class name")
+    ap.add_argument("--cls", required=True,
+                    help="text query / class name; comma-separate several to "
+                         "share each scene's depth upload across classes "
+                         "(scene-outer ordering, projection.run_classes)")
     ap.add_argument("--scene", default=None, help="restrict to one scene id")
     ap.add_argument("--no-resume", action="store_true", help="ignore scene checkpoints")
     args = ap.parse_args()
 
     cfg = Config.from_yaml(args.config)
     scenes = [args.scene] if args.scene else None
+    classes = [c.strip() for c in args.cls.split(",") if c.strip()]
     t0 = time.time()
-    results = projection.run(cfg, args.cls, scenes=scenes, resume=not args.no_resume)
+    if len(classes) > 1:
+        by_class = projection.run_classes(cfg, classes, scenes=scenes,
+                                          resume=not args.no_resume)
+    else:
+        by_class = {classes[0]: projection.run(
+            cfg, classes[0], scenes=scenes, resume=not args.no_resume)}
     dt = time.time() - t0
-    done = len(results)
-    print(f"[projection] class={args.cls!r} scenes={done} time={dt:.2f}s"
-          + (f" ({dt / done:.2f}s/scene)" if done else ""))
-    for r in results:
-        print(f"  {r['scene_id']}: {r['instances']} instances")
+    for cls_name, results in by_class.items():
+        done = len(results)
+        print(f"[projection] class={cls_name!r} scenes={done} time={dt:.2f}s"
+              + (f" ({dt / done:.2f}s/scene)" if done else ""))
+        for r in results:
+            print(f"  {r['scene_id']}: {r['instances']} instances")
 
 
 if __name__ == "__main__":
