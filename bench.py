@@ -327,19 +327,37 @@ def fast_pipeline_wall_clock(models, fast_models, small):
 
     hit_rate = float(os.environ.get("BFF_BENCH_HIT_RATE", "0.25"))
     cfg, n_frames = _bench_scene_cfg(small, extra_detector={"kind": "yolo_world"})
-    seg = Segmentor2D(cfg, detector=fast_models["yolo"], sam=fast_models["esam"],
-                      clip_model=models["clip"], clip_tokenizer=models["clip_tok"])
+    # Workload-faithful detector for the pipeline sections: the random-init
+    # contrastive head SATURATES (every NMS survivor scores exactly 1.0), so
+    # threshold calibration cannot separate boxes and the hit regime would
+    # CLIP-score all cfg.max_dets=100 crops/frame — a workload no trained
+    # detector produces (the methodology targets ~boxes_target/frame; GDINO's
+    # random-init scores are non-degenerate and calibrate to ~7). max_dets is
+    # post-processing only (NMS top-k), so the same params re-wrap with a
+    # clamped config; the device-compute section keeps the official 100.
+    import dataclasses
+
+    from beyondff_tpu.models import yolo_world
+
+    yw = fast_models["yolo"]
+    k = 2 * cfg.detector.max_detections
+    if yw.cfg.max_dets > k:
+        log(f"fast-pipeline: clamping yolo max_dets {yw.cfg.max_dets} -> {k} "
+            "(random-init scores are degenerate; see comment)")
+        yw = yolo_world.YOLOWorld(dataclasses.replace(yw.cfg, max_dets=k),
+                                  yw.params, dtype=yw.module.dtype)
     # The detector's guide embeddings must match cfg.text_dim (512 for "l",
     # the CLIP-base tower of official YOLO-World) — the headline ViT-L/14
     # tower (768) doesn't fit, and without a matching tower the detector
     # falls back to deterministic hash embeddings of the right width. The
     # injected ViT-L/14 still serves the crop filter (reference parity:
     # bbox_filter uses ViT-L/14 in the YOLO variant too).
-    yw = fast_models["yolo"]
     if (getattr(yw, "clip", None) is None
             and getattr(models["clip"].cfg, "embed_dim", None) == yw.cfg.text_dim):
         yw.clip = models["clip"]
         yw.clip_tokenizer = models["clip_tok"]
+    seg = Segmentor2D(cfg, detector=yw, sam=fast_models["esam"],
+                      clip_model=models["clip"], clip_tokenizer=models["clip_tok"])
     return _measure_pipeline(seg, cfg, n_frames, hit_rate, "fast-pipeline")
 
 

@@ -128,6 +128,9 @@ def main():
     ap.add_argument("--points", type=int, default=250000)
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--keep", default=None, help="keep the fixture at this path")
+    ap.add_argument("--multi", type=int, default=0,
+                    help="also measure scene-outer multi-class projection "
+                         "(run_classes depth-bank amortization) over K classes")
     args = ap.parse_args()
 
     from beyondff_tpu.config import Config
@@ -164,6 +167,36 @@ def main():
         # reference: ~2-5 s/scene projection + <1 s refinement => ~12-20/min
         "vs_baseline": round((60.0 / per_scene) / 15.0, 3),
     }))
+
+    if args.multi > 1:
+        # depth-bank amortization: K classes over the same scene, per-class
+        # projection (depth re-uploads every class) vs scene-outer
+        # run_classes (depth uploads once, shared bank)
+        import shutil as _sh
+
+        classes = ["clothes"] + [f"clothes_v{i}" for i in range(1, args.multi)]
+        src = os.path.join(cfg.paths.mask_2d_dir, "clothes")
+        for c in classes[1:]:
+            dst = os.path.join(cfg.paths.mask_2d_dir, c)
+            if not os.path.isdir(dst):
+                _sh.copytree(src, dst)
+        t0 = time.time()
+        for c in classes:
+            projection.run(cfg, c, resume=False)
+        per_cls_loop = (time.time() - t0) / len(classes)
+        t0 = time.time()
+        projection.run_classes(cfg, classes, resume=False)
+        per_cls_bank = (time.time() - t0) / len(classes)
+        print(f"# multi-class x{args.multi}: per-class driver "
+              f"{per_cls_loop:.2f}s/class-scene, scene-outer bank "
+              f"{per_cls_bank:.2f}s/class-scene "
+              f"({per_cls_loop / per_cls_bank:.2f}x)", file=sys.stderr)
+        print(json.dumps({
+            "metric": "proj_multiclass_scenes_per_min_per_class",
+            "value": round(60.0 / per_cls_bank, 2),
+            "unit": "class-scenes/min",
+            "vs_baseline": round((60.0 / per_cls_bank) / 15.0, 3),
+        }))
     if not args.keep:
         shutil.rmtree(root, ignore_errors=True)
 
