@@ -115,3 +115,39 @@ def test_retries_recover_transient_failures(tmp_path, monkeypatch):
     status = r.process_class("towel")
     assert all(status.values())
     assert attempts["n"] == 3  # failed twice, succeeded on the final retry
+
+
+def test_amortized_projection_in_find_parameters(tmp_path, monkeypatch):
+    """With cached 2D masks (find-parameters mode), the sweep runs projection
+    for ALL classes scene-outer up front (projection.run_classes, shared
+    per-scene depth bank) and the per-class loop then skips the stage."""
+    import os
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import make_synthetic_scene
+
+    root = str(tmp_path / "amroot")
+    cfg_path = make_synthetic_scene.generate(root, query="towel", seed=2)
+    cfg = Config.from_yaml(cfg_path)
+    shutil.copytree(os.path.join(cfg.paths.mask_2d_dir, "towel"),
+                    os.path.join(cfg.paths.mask_2d_dir, "clothes"))
+
+    runner = SweepRunner(cfg, checkpoint_path=str(tmp_path / "p.txt"),
+                         skip_segmentation=True)
+    stage_calls = []
+    monkeypatch.setattr(runner, "_run_stage",
+                        lambda s, c: stage_calls.append((s, c)))
+    res = runner.run(classes=["towel", "clothes"])
+    assert all(all(v.values()) for v in res.values()), res
+    # the amortized pass did the real projection work for both classes...
+    for c in ("towel", "clothes"):
+        assert os.path.exists(
+            os.path.join(cfg.paths.mask_3d_dir, c, "scene0000_00.pth"))
+    # ...so the per-class loop never invoked the projection stage
+    assert not any(s == "projection" for s, _ in stage_calls), stage_calls
+    # later stages still ran per class
+    assert ("refinement", "towel") in stage_calls
+    assert ("evaluation", "clothes") in stage_calls
