@@ -417,6 +417,27 @@ def projection_bench(small):
     log(f"projection+refinement e2e: {per_scene_e2e:.2f} s/scene "
         f"(passes {[round(t, 2) for t in e2e_times]})")
 
+    # --- multi-class amortization: the sweep's real access pattern (many
+    # classes over the same scenes). run_classes shares each scene's depth
+    # upload across classes; at 4 classes the per-class cost already halves
+    # (asymptote: device-bound lift + host mask IO).
+    per_cls_bank = None
+    multi = int(os.environ.get("BFF_BENCH_PROJ_MULTI", "0" if small else "4"))
+    if multi > 1:
+        import shutil as _sh
+
+        classes = ["clothes"] + [f"clothes_v{i}" for i in range(1, multi)]
+        src = os.path.join(cfg.paths.mask_2d_dir, "clothes")
+        for c in classes[1:]:
+            dst = os.path.join(cfg.paths.mask_2d_dir, c)
+            if not os.path.isdir(dst):
+                _sh.copytree(src, dst)
+        t0 = time.time()
+        projection.run_classes(cfg, classes, resume=False)
+        per_cls_bank = (time.time() - t0) / multi
+        log(f"projection multi-class x{multi} (shared depth bank): "
+            f"{per_cls_bank:.2f} s/class-scene vs {per_scene_e2e:.2f} per-class")
+
     # --- device-only: fenced programs on device-resident inputs
     def sync(x):
         leaves = jax.tree_util.tree_leaves(x)
@@ -495,7 +516,8 @@ def projection_bench(small):
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
-    return 60.0 / per_scene_e2e, 60.0 / per_scene_device
+    return (60.0 / per_scene_e2e, 60.0 / per_scene_device,
+            60.0 / per_cls_bank if per_cls_bank else None)
 
 
 def multichip_scaling(n_devices):
@@ -654,18 +676,19 @@ def main():
         fps_fast_pipeline = _optional(
             "fast_pipeline",
             lambda: fast_pipeline_wall_clock(models, fast_models, small))
-    proj_e2e = proj_device = None
+    proj_e2e = proj_device = proj_multi = None
     if os.environ.get("BFF_BENCH_PROJ", "0" if small else "1") != "0":
         proj = _optional("projection_bench", lambda: projection_bench(small))
         if proj is not None:
-            proj_e2e, proj_device = proj
+            proj_e2e, proj_device, proj_multi = proj
     log(f"summary: device-compute {fps_device:.2f} f/s, "
         f"pipeline composite {fps_pipeline:.2f} f/s"
         + (f", fast-variant device {fps_fast:.2f} f/s" if fps_fast else "")
         + (f", fast pipeline composite {fps_fast_pipeline:.2f} f/s"
            if fps_fast_pipeline else "")
         + (f", projection {proj_e2e:.1f} scenes/min e2e / {proj_device:.1f} device-only"
-           if proj_e2e else ""))
+           if proj_e2e else "")
+        + (f" / {proj_multi:.1f} per-class multi-class" if proj_multi else ""))
 
     # one JSON line; the headline metric stays name-stable across rounds and
     # the secondary metrics ride in "extra" (reference anchors: seg2d ~10 f/s
@@ -678,6 +701,8 @@ def main():
         "projection_scenes_per_min_e2e": round(proj_e2e, 2) if proj_e2e else None,
         "projection_scenes_per_min_device": (round(proj_device, 2)
                                              if proj_device else None),
+        "projection_multiclass_scenes_per_min_per_class": (
+            round(proj_multi, 2) if proj_multi else None),
         "link_upload_mb_s": link_up,
         "link_download_mb_s": link_down,
         "mfu": mfu_records,
