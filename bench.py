@@ -50,7 +50,11 @@ def link_probe(mb: int = 8, rounds: int = 2):
     import jax
     import jax.numpy as jnp
 
-    buf = np.random.randint(0, 255, (mb * 1024 * 1024,), np.uint8)
+    buf = np.random.randint(0, 254, (mb * 1024 * 1024,), np.uint8)
+    # the download must fetch device-COMPUTED data: device_get of an UPLOADED
+    # buffer is served from the runtime's cached host copy (a memcpy, not the
+    # tunnel — tools/probe_link.py section 3d)
+    inc = jax.jit(lambda x: x + 1)
     up = down = 0.0
     for _ in range(rounds):
         t0 = time.time()
@@ -58,11 +62,19 @@ def link_probe(mb: int = 8, rounds: int = 2):
         # fence: a tiny reduce fetched to host proves the upload landed
         float(jax.device_get(dev[:: 1024 * 1024].sum()))
         up = max(up, mb / (time.time() - t0))
+        dev = inc(dev)
+        float(jax.device_get(dev[0].astype(jnp.float32)))
         t0 = time.time()
         np.asarray(jax.device_get(dev))
         down = max(down, mb / (time.time() - t0))
     log(f"link probe: upload {up:.1f} MB/s, download {down:.1f} MB/s (best of {rounds})")
     return round(up, 1), round(down, 1)
+
+
+def _timed_once(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
 
 
 def timed(name, fn, sync, iters):
@@ -420,23 +432,31 @@ def projection_bench(small):
     # --- multi-class amortization: the sweep's real access pattern (many
     # classes over the same scenes). run_classes shares each scene's depth
     # upload across classes; at 4 classes the per-class cost already halves
-    # (asymptote: device-bound lift + host mask IO).
+    # (asymptote: device-bound lift + host mask IO). Guarded: a failure here
+    # must not discard the already-measured e2e or skip the device section.
     per_cls_bank = None
     multi = int(os.environ.get("BFF_BENCH_PROJ_MULTI", "0" if small else "4"))
     if multi > 1:
-        import shutil as _sh
-
-        classes = ["clothes"] + [f"clothes_v{i}" for i in range(1, multi)]
-        src = os.path.join(cfg.paths.mask_2d_dir, "clothes")
-        for c in classes[1:]:
-            dst = os.path.join(cfg.paths.mask_2d_dir, c)
-            if not os.path.isdir(dst):
-                _sh.copytree(src, dst)
-        t0 = time.time()
-        projection.run_classes(cfg, classes, resume=False)
-        per_cls_bank = (time.time() - t0) / multi
-        log(f"projection multi-class x{multi} (shared depth bank): "
-            f"{per_cls_bank:.2f} s/class-scene vs {per_scene_e2e:.2f} per-class")
+        try:
+            classes = bp.clone_mask_classes(cfg, "clothes", multi)
+            # best-of-2 per CLAUDE.md (transient co-tenant degradation);
+            # projection-only on BOTH legs so the ratio is apples-to-apples
+            per_cls_loop = min(
+                _timed_once(lambda: [projection.run(cfg, c, resume=False)
+                                     for c in classes])
+                for _ in range(2)) / multi
+            per_cls_bank = min(
+                _timed_once(lambda: projection.run_classes(cfg, classes,
+                                                           resume=False))
+                for _ in range(2)) / multi
+            log(f"projection multi-class x{multi}: per-class driver "
+                f"{per_cls_loop:.2f} s/class-scene, shared depth bank "
+                f"{per_cls_bank:.2f} s/class-scene "
+                f"({per_cls_loop / per_cls_bank:.2f}x)")
+        except Exception as e:  # noqa: BLE001 - secondary metric only
+            log(f"SECTION FAILED (projection multi-class): "
+                f"{type(e).__name__}: {e}")
+            per_cls_bank = None
 
     # --- device-only: fenced programs on device-resident inputs
     def sync(x):

@@ -122,6 +122,19 @@ def build_fullscale_scene(root: str, n_points: int, n_frames: int, rng) -> str:
     return path
 
 
+def clone_mask_classes(cfg, base: str, k: int):
+    """Duplicate ``base``'s 2D-stage outputs into k-1 sibling classes so
+    multi-class projection can be measured on the fixture; returns the full
+    class list (shared by bench.py's projection section)."""
+    classes = [base] + [f"{base}_v{i}" for i in range(1, k)]
+    src = os.path.join(cfg.paths.mask_2d_dir, base)
+    for c in classes[1:]:
+        dst = os.path.join(cfg.paths.mask_2d_dir, c)
+        if not os.path.isdir(dst):
+            shutil.copytree(src, dst)
+    return classes
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=300)
@@ -171,22 +184,22 @@ def main():
     if args.multi > 1:
         # depth-bank amortization: K classes over the same scene, per-class
         # projection (depth re-uploads every class) vs scene-outer
-        # run_classes (depth uploads once, shared bank)
-        import shutil as _sh
+        # run_classes (depth uploads once, shared bank). Best-of-2 per
+        # CLAUDE.md: the shared chip degrades transiently.
+        classes = clone_mask_classes(cfg, "clothes", args.multi)
 
-        classes = ["clothes"] + [f"clothes_v{i}" for i in range(1, args.multi)]
-        src = os.path.join(cfg.paths.mask_2d_dir, "clothes")
-        for c in classes[1:]:
-            dst = os.path.join(cfg.paths.mask_2d_dir, c)
-            if not os.path.isdir(dst):
-                _sh.copytree(src, dst)
-        t0 = time.time()
-        for c in classes:
-            projection.run(cfg, c, resume=False)
-        per_cls_loop = (time.time() - t0) / len(classes)
-        t0 = time.time()
-        projection.run_classes(cfg, classes, resume=False)
-        per_cls_bank = (time.time() - t0) / len(classes)
+        def once(fn):
+            t0 = time.time()
+            fn()
+            return time.time() - t0
+
+        per_cls_loop = min(
+            once(lambda: [projection.run(cfg, c, resume=False)
+                          for c in classes])
+            for _ in range(2)) / len(classes)
+        per_cls_bank = min(
+            once(lambda: projection.run_classes(cfg, classes, resume=False))
+            for _ in range(2)) / len(classes)
         print(f"# multi-class x{args.multi}: per-class driver "
               f"{per_cls_loop:.2f}s/class-scene, scene-outer bank "
               f"{per_cls_bank:.2f}s/class-scene "

@@ -30,6 +30,8 @@ def main():
     cfg = Config.from_yaml(args.config)
     scenes = [args.scene] if args.scene else None
     classes = [c.strip() for c in args.cls.split(",") if c.strip()]
+    if not classes:
+        ap.error("--cls must name at least one class")
     t0 = time.time()
     if len(classes) > 1:
         by_class = projection.run_classes(cfg, classes, scenes=scenes,
@@ -38,10 +40,11 @@ def main():
         by_class = {classes[0]: projection.run(
             cfg, classes[0], scenes=scenes, resume=not args.no_resume)}
     dt = time.time() - t0
+    total = sum(len(r) for r in by_class.values())
+    print(f"[projection] {len(by_class)} class(es), {total} class-scenes, "
+          f"time={dt:.2f}s" + (f" ({dt / total:.2f}s/class-scene)" if total else ""))
     for cls_name, results in by_class.items():
-        done = len(results)
-        print(f"[projection] class={cls_name!r} scenes={done} time={dt:.2f}s"
-              + (f" ({dt / done:.2f}s/scene)" if done else ""))
+        print(f"[projection] class={cls_name!r} scenes={len(results)}")
         for r in results:
             print(f"  {r['scene_id']}: {r['instances']} instances")
 
