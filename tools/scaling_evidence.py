@@ -223,17 +223,29 @@ def analytic_table(chips=(1, 2, 4, 8)):
         cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_UNCHANGED)
     t_png = (time.time() - t0) / 20
 
-    buf = np.zeros((16 << 20,), np.uint8)  # 16 MB
-    jax.device_get(jnp.asarray(buf)[:1])  # warm path
-    t0 = time.time()
-    sync(jnp.asarray(buf) + 1)
-    t_up = time.time() - t0
-    upload_bw = buf.nbytes / t_up
+    # upload bandwidth in the DRIVER'S pattern: the prefetch thread async-
+    # dispatches per-frame transfers and only chunk consumption fences, so
+    # transfers pipeline — a fenced-per-transfer probe reads ~13-16 MB/s
+    # where this pattern reads ~35-45 MB/s on the same link
+    # (tools/probe_link.py sections 3a/3b), and the real driver measured
+    # 3.9-4.2 s/scene e2e this session (BENCH r4), consistent only with the
+    # pipelined rate. Best-of-2 per the co-tenant rule.
+    bufs = [np.random.randint(0, 255, (2 << 20,), np.uint8) for _ in range(8)]
+    jax.device_get(jnp.asarray(bufs[0])[:1])  # warm path
+    reduce8 = jax.jit(
+        lambda *xs: sum(x[:1].astype(jnp.float32).sum() for x in xs))
+    t_up = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        devs = [jnp.asarray(b) for b in bufs]
+        float(jax.device_get(reduce8(*devs)))
+        t_up = min(t_up, time.time() - t0)
+    upload_bw = sum(b.nbytes for b in bufs) / t_up
     depth_bytes = n_frames * 480 * 640 * 2
     host_feed_s = n_frames * t_png + depth_bytes / upload_bw
     log(f"host feed: PNG decode {t_png * 1e3:.1f} ms/frame, upload "
-        f"{upload_bw / 1e6:.0f} MB/s -> {host_feed_s:.2f} s/scene "
-        f"({depth_bytes / 1e6:.0f} MB depth)")
+        f"{upload_bw / 1e6:.0f} MB/s (pipelined, best-of-2) -> "
+        f"{host_feed_s:.2f} s/scene ({depth_bytes / 1e6:.0f} MB depth)")
 
     device_per_scene = det_chunks * t_det + view_chunks * t_view
     psum_ms = 2 * n_points * 4 / 20e9 * 1e3  # ICI ~20 GB/s lower bound
@@ -269,7 +281,8 @@ def analytic_table(chips=(1, 2, 4, 8)):
         "assumptions": [
             "frames independent: det/view chunks divide across chips (HLO artifact shows the detection program is collective-free and the lift's only collectives are the count psums)",
             "aggregate+filter single-chip (ms-scale, one (I,I) IoU per scene)",
-            "single-host rows: one host feeds all chips at the measured single-stream rate; multi-host rows: feed divides with hosts",
+            "single-host rows: one host feeds all chips at the measured pipelined upload rate; multi-host rows: feed divides with hosts",
+            "multi-class sweeps amortize the feed further: run_classes uploads each scene's depth once for the whole class list (measured 2.1x/class at 4 classes)",
             f"reference baseline 1.1-4.8 s/scene on RTX A5000 (BASELINE.md)",
         ],
         "table": rows,
