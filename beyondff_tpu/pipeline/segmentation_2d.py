@@ -734,9 +734,12 @@ class Segmentor2D:
         # while the host finalizes t-1 — absorbs host-side jitter (JPEG
         # decode, crop building, mask unpacking) without idling the chip
         inflight = int(os.environ.get("BFF_SEG2D_INFLIGHT", "2"))
-        # deferred-resolution depth: 1 = materialize each device download one
-        # flush cycle after its dispatch (default), 0 = same-cycle (blocking)
-        defer = 0 if os.environ.get("BFF_SEG2D_DEFER", "1") == "0" else 1
+        # deferred-resolution depth: k = materialize each device download k
+        # flush cycles after its dispatch (default 1), 0 = same-cycle
+        # (blocking). Depth >1 gives a packed-mask D2H more cycles to ride
+        # the link before the host blocks on it (the fast variant's hit
+        # regime is download-bound after the clip fix).
+        defer = int(os.environ.get("BFF_SEG2D_DEFER", "1") or 1)
 
         def flush_device():
             dispatch_detection()
