@@ -426,7 +426,8 @@ class Segmentor2D:
         }
 
     # ------------------------------------------------------------ per scene
-    def process_scene(self, scene_id: str, query: str) -> List[Dict]:
+    def process_scene(self, scene_id: str, query: str,
+                      frame_bank: Optional[Dict] = None) -> List[Dict]:
         """All frames of a scene, batched ``detector.frame_batch`` at a time
         through the detector and SAM encoder, with prefetched image loading.
 
@@ -435,7 +436,13 @@ class Segmentor2D:
         compute); the detector input derives from it on device and SAM
         encodes it directly — replacing the reference's three separate
         host-side model preprocessing chains per frame
-        (segmentation_2d.py:247-278)."""
+        (segmentation_2d.py:247-278).
+
+        ``frame_bank``: optional dict shared across CLASSES of the same
+        scene (see :func:`run_classes`) — decoded host frames and uploaded
+        device buffers are stored under ("img"|"det"|"sam", frame_id) keys,
+        so a multi-class sweep pays each scene's JPEG decode and
+        host->device frame traffic once instead of once per class."""
         p = self.cfg.paths
         d = self.cfg.detector
         size = (self.cfg.frames.width_2d, self.cfg.frames.height_2d)
@@ -488,40 +495,76 @@ class Segmentor2D:
         if device_frames:
             from beyondff_tpu.core import color as _color
 
-        def load(fid):
+        bank = frame_bank  # {("img"|"det"|"sam", fid): buffer} or None
+
+        def _load_img(fid):
+            if bank is not None and ("img", fid) in bank:
+                return bank[("img", fid)]
             img = bio.load_image(
                 os.path.join(p.scene_2d_dir, scene_id, "color", f"{fid}.jpg"), size=size)
+            if bank is not None:
+                bank[("img", fid)] = img
+            return img
+
+        def load(fid):
+            img = _load_img(fid)
             if device_frames:
                 if two_tier:
-                    import cv2
+                    dev = bank.get(("det", fid)) if bank is not None else None
+                    if dev is None:
+                        import cv2
 
-                    det_img = cv2.resize(img, (det_hw[1], det_hw[0]),
-                                         interpolation=cv2.INTER_LINEAR)
-                    # upload (prefetch thread): detector-scale only; the
-                    # SAM-scale buffer uploads lazily for frames with boxes
-                    return fid, img, None, _color.upload_frame(det_img, yuv=yuv)
+                        det_img = cv2.resize(img, (det_hw[1], det_hw[0]),
+                                             interpolation=cv2.INTER_LINEAR)
+                        # upload (prefetch thread): detector-scale only; the
+                        # SAM-scale buffer uploads lazily for frames with boxes
+                        dev = _color.upload_frame(det_img, yuv=yuv)
+                        if bank is not None:
+                            bank[("det", fid)] = dev
+                    return fid, img, None, dev
+                dev = bank.get(("sam", fid)) if bank is not None else None
+                if dev is not None:
+                    small, input_hw = bank[("sam_host", fid)]
+                    return fid, small, input_hw, dev
                 small, input_hw = self.sam.scale_frame(img)
                 # upload starts here, in the prefetch thread (async dispatch)
-                return fid, small, input_hw, _color.upload_frame(small, yuv=yuv)
+                dev = _color.upload_frame(small, yuv=yuv)
+                if bank is not None:
+                    bank[("sam", fid)] = dev
+                    bank[("sam_host", fid)] = (small, input_hw)
+                return fid, small, input_hw, dev
             return fid, img
 
         def load_chunk(fids):
             """Batched-upload loader: decode + scale a whole detection batch
-            on the host, then ship it as ONE device transfer."""
-            imgs = [bio.load_image(
-                os.path.join(p.scene_2d_dir, scene_id, "color", f"{fid}.jpg"),
-                size=size) for fid in fids]
+            on the host, then ship it as ONE device transfer. Banked chunks
+            restack the per-frame buffers on device (no link traffic)."""
+            imgs = [_load_img(fid) for fid in fids]
+            key = "det" if two_tier else "sam"
+            if bank is not None and all((key, f) in bank for f in fids):
+                dev = _stack_jit(len(fids))(*[bank[(key, f)] for f in fids])
+                if two_tier:
+                    return list(fids), imgs, None, dev
+                smalls, hws = zip(*[bank[("sam_host", f)] for f in fids])
+                return list(fids), list(smalls), hws[0], dev
             if two_tier:
                 import cv2
 
                 det_imgs = [cv2.resize(im, (det_hw[1], det_hw[0]),
                                        interpolation=cv2.INTER_LINEAR)
                             for im in imgs]
-                return (list(fids), imgs, None,
-                        _color.upload_frames(det_imgs, yuv=yuv))
+                dev = _color.upload_frames(det_imgs, yuv=yuv)
+                if bank is not None:
+                    for i, f in enumerate(fids):
+                        bank[("det", f)] = dev[i]
+                return list(fids), imgs, None, dev
             pairs = [self.sam.scale_frame(im) for im in imgs]
-            return (list(fids), [pr[0] for pr in pairs], pairs[0][1],
-                    _color.upload_frames([pr[0] for pr in pairs], yuv=yuv))
+            dev = _color.upload_frames([pr[0] for pr in pairs], yuv=yuv)
+            if bank is not None:
+                for i, f in enumerate(fids):
+                    bank[("sam", f)] = dev[i]
+                    bank[("sam_host", f)] = pairs[i]
+            return (list(fids), [pr[0] for pr in pairs], pairs[0][1], dev)
 
         from beyondff_tpu.utils.prefetch import prefetch_map
 
@@ -627,7 +670,7 @@ class Segmentor2D:
                 # detector ran from the smaller detector-scale buffer);
                 # misses never upload SAM-scale at all
                 with _span("sam_upload"):
-                    if batch_upload:
+                    if batch_upload and bank is None:
                         pairs = [self.sam.scale_frame(smalls[i]) for i in idx]
                         input_hw = pairs[0][1]
                         sam_batch = _color.upload_frames(
@@ -639,11 +682,46 @@ class Segmentor2D:
                                 return sam_batch
                             return _take_jit()(sam_batch, np.asarray(
                                 [pos_of[i] for i in indices], np.int32))
+                    elif batch_upload:
+                        # bank-aware: reuse banked per-frame buffers, batch-
+                        # upload only the missing ones, store their slices
+                        sam_devs = {}
+                        missing = []
+                        for i in idx:
+                            cached = bank.get(("sam", fids[i]))
+                            if cached is not None:
+                                sam_devs[i] = cached
+                                input_hw = bank[("sam_host", fids[i])][1]
+                            else:
+                                missing.append(i)
+                        if missing:
+                            pairs = [self.sam.scale_frame(smalls[i])
+                                     for i in missing]
+                            input_hw = pairs[0][1]
+                            up = _color.upload_frames(
+                                [pr[0] for pr in pairs], yuv=yuv)
+                            for j, i in enumerate(missing):
+                                sam_devs[i] = up[j]
+                                bank[("sam", fids[i])] = up[j]
+                                bank[("sam_host", fids[i])] = pairs[j]
+
+                        def enc_input(indices):
+                            return _stack_jit(len(indices))(
+                                *[sam_devs[i] for i in indices])
                     else:
                         sam_devs = {}
                         for i in idx:
+                            cached = (bank.get(("sam", fids[i]))
+                                      if bank is not None else None)
+                            if cached is not None:
+                                sam_devs[i] = cached
+                                input_hw = bank[("sam_host", fids[i])][1]
+                                continue
                             small_i, input_hw = self.sam.scale_frame(smalls[i])
                             sam_devs[i] = _color.upload_frame(small_i, yuv=yuv)
+                            if bank is not None:
+                                bank[("sam", fids[i])] = sam_devs[i]
+                                bank[("sam_host", fids[i])] = (small_i, input_hw)
 
                         def enc_input(indices):
                             return _stack_jit(len(indices))(
@@ -847,5 +925,55 @@ def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None,
         ckpt.mark(scene_id)
         results.append({"scene_id": scene_id, "frames_with_boxes": n_frames})
     if results:
+        print(prof.report())
+    return results
+
+
+def run_classes(cfg: Config, class_names: Sequence[str],
+                scenes: Optional[Sequence[str]] = None, resume: bool = True,
+                segmentor: Optional[Segmentor2D] = None) -> Dict[str, List[Dict]]:
+    """Multi-class 2D stage with SCENE-OUTER ordering: each scene's frames
+    are JPEG-decoded and uploaded to the device ONCE (a per-scene
+    ``frame_bank``) and every class's detection pass reuses them.
+
+    The reference sweep re-reads and re-ships every frame per class
+    (run_evl.py:103-118 x segmentation_2d.py:469-478). Detection itself is
+    query-conditioned so it must re-run per class, but on the fast
+    (YOLO-World) variant detection is ~5 ms/frame and the per-class cost is
+    dominated by exactly the IO this amortizes. Checkpoints stay
+    per-(class, scene), interchangeable with :func:`run`."""
+    p = cfg.paths
+    if scenes is None:
+        scenes = sorted(
+            f.rsplit(".", 1)[0]
+            for f in os.listdir(p.stage_1_results_dir)
+            if f.endswith((".pth", ".npz"))
+        )
+    from beyondff_tpu.utils.profiling import StageProfiler
+
+    prof = StageProfiler("segmentation_2d")
+    seg = segmentor or Segmentor2D(cfg)
+    ckpts = {c: SceneCheckpoint(p.checkpoint_dir, "segmentation_2d", c)
+             for c in class_names}
+    results: Dict[str, List[Dict]] = {c: [] for c in class_names}
+    for scene_id in scenes:
+        todo = [c for c in class_names
+                if not (resume and ckpts[c].done(scene_id))]
+        if not todo:
+            continue
+        frame_bank: Dict = {}  # lives for this scene only
+        frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id,
+                                          cfg.frames.downsample_ratio)
+        for c in todo:
+            with prof.span("scene", frames=len(frame_ids)):
+                records = seg.process_scene(scene_id, c, frame_bank=frame_bank)
+            rle.encode_frame_masks(records)
+            out = os.path.join(p.mask_2d_dir, c,
+                               f"{scene_id}.{cfg.output_format}")
+            bio.save_frame_records(out, records)
+            ckpts[c].mark(scene_id)
+            results[c].append({"scene_id": scene_id,
+                               "frames_with_boxes": len(records)})
+    if any(results.values()):
         print(prof.report())
     return results

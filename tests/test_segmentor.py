@@ -408,3 +408,76 @@ def test_batch_upload_matches_per_frame(tmp_path, monkeypatch, kind):
         np.testing.assert_array_equal(a["segmented_frame_masks"],
                                       b["segmented_frame_masks"])
         np.testing.assert_allclose(a["confidences"], b["confidences"], rtol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["gdino", "yolo_world"])
+def test_run_classes_frame_bank_matches_per_class(tmp_path, monkeypatch, kind):
+    """Scene-outer multi-class seg2d (run_classes: per-scene frame bank —
+    JPEG decode + frame uploads paid once, every class's detection reuses
+    the banked buffers) must emit identical stage files to per-class run(),
+    in both detector modes (YOLO-World forced two-tier exercises the banked
+    lazy SAM-scale path)."""
+    import os
+
+    import cv2
+
+    from beyondff_tpu.pipeline import segmentation_2d as s2d
+    from beyondff_tpu.utils import io as bio
+
+    rng = np.random.default_rng(31)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(5):
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    s1_dir = tmp_path / "stage1"
+    s1_dir.mkdir()
+    (s1_dir / "scene0000_00.npz").write_bytes(b"")  # scene discovery marker
+    det = {"box_threshold": -1.0 if kind == "yolo_world" else 0.0,
+           "must_match_query": False, "similarity_threshold": -10.0,
+           "max_detections": 4, "dtype": "float32", "frame_batch": 2,
+           "filter_with_clip": kind == "gdino"}
+    if kind == "yolo_world":
+        det["kind"] = "yolo_world"
+        monkeypatch.setenv("BFF_SEG2D_TWO_TIER", "1")
+    cfg = Config.from_dict({
+        "paths": {"scene_2d_dir": str(tmp_path),
+                  "mask_2d_dir": str(tmp_path / "mask_2d"),
+                  "stage_1_results_dir": str(s1_dir),
+                  "checkpoint_dir": str(tmp_path / "ckpt_a")},
+        "frames": {"width_2d": 64, "height_2d": 64, "downsample_ratio": 1},
+        "detector": det,
+    })
+    seg = Segmentor2D(cfg)
+
+    ref = {}
+    for c in ("clothes", "towel"):
+        s2d.run(cfg, c, resume=False, segmentor=seg)
+        ref[c] = bio.load_frame_records(
+            os.path.join(cfg.paths.mask_2d_dir, c,
+                         f"scene0000_00.{cfg.output_format}"))
+
+    cfg2 = cfg.override(**{"paths.checkpoint_dir": str(tmp_path / "ckpt_b")})
+    banked = s2d.run_classes(cfg2, ["clothes", "towel"], resume=False,
+                             segmentor=seg)
+    assert len(banked["clothes"]) == len(banked["towel"]) == 1
+    from beyondff_tpu.core import rle as rle_mod
+
+    for c in ("clothes", "towel"):
+        got = bio.load_frame_records(
+            os.path.join(cfg.paths.mask_2d_dir, c,
+                         f"scene0000_00.{cfg.output_format}"))
+        assert len(got) == len(ref[c]) > 0
+        for a, b in zip(ref[c], got):
+            assert a["frame_id"] == b["frame_id"]
+            assert list(a["labels"]) == list(b["labels"])
+            ma = rle_mod.rle_decode_batch(a["segmented_frame_masks"])
+            mb = rle_mod.rle_decode_batch(b["segmented_frame_masks"])
+            np.testing.assert_array_equal(ma, mb)
+            np.testing.assert_allclose(a["confidences"], b["confidences"],
+                                       rtol=1e-6)
+
+    # resume contract: everything checkpointed -> no work
+    again = s2d.run_classes(cfg2, ["clothes", "towel"], resume=True,
+                            segmentor=seg)
+    assert again == {"clothes": [], "towel": []}
