@@ -64,6 +64,36 @@ class SweepRunner:
         self.amortize_projection = amortize_projection
         self._segmentor = None
 
+    # scene-outer multi-class 2D stage (opt-in via run(amortize_segmentation
+    # =True) / run_sweep.py --amortize-segmentation): frames decode + upload
+    # once per scene for the whole class list (segmentation_2d.run_classes —
+    # measured 1.2x/class on the fast variant; GDINO gains ~nothing, it is
+    # compute-bound). Off by default: it front-loads the heaviest stage
+    # before any class completes end-to-end, which changes sweep progress
+    # behavior (per-(class, scene) checkpoints still make it resumable).
+    def _amortized_segmentation(self, classes: Sequence[str]) -> None:
+        pending = [c for c in classes
+                   if not self.checkpoint.stage_done(c, "segmentation")]
+        if len(pending) < 2:
+            return
+        from beyondff_tpu.pipeline import segmentation_2d
+
+        if self._segmentor is None:
+            self._segmentor = segmentation_2d.Segmentor2D(self.cfg)
+        t0 = time.time()
+        try:
+            segmentation_2d.run_classes(self.cfg, pending,
+                                        segmentor=self._segmentor)
+        except Exception:
+            traceback.print_exc()
+            print("[sweep] amortized segmentation failed; classes fall back "
+                  "to the per-class stage")
+            return
+        for c in pending:
+            self.checkpoint.mark(c, "segmentation", True)
+        print(f"[sweep] amortized segmentation: {len(pending)} classes "
+              f"({time.time() - t0:.1f}s)")
+
     # ------------------------------------------------------------- stages
     def _run_stage(self, stage: str, class_name: str) -> None:
         if self.use_subprocess:
@@ -160,11 +190,15 @@ class SweepRunner:
               f"({time.time() - t0:.1f}s)")
 
     def run(self, classes: Optional[Sequence[str]] = None,
-            skip: Sequence[str] = DEFAULT_SKIP) -> Dict[str, Dict[str, bool]]:
+            skip: Sequence[str] = DEFAULT_SKIP,
+            amortize_segmentation: bool = False) -> Dict[str, Dict[str, bool]]:
         classes = classes if classes is not None else default_class_list()
         todo = [c for c in classes if c not in skip]
-        if self.amortize_projection and not self.use_subprocess:
-            self._amortized_projection(todo)
+        if not self.use_subprocess:
+            if amortize_segmentation and not self.skip_segmentation:
+                self._amortized_segmentation(todo)
+            if self.amortize_projection:
+                self._amortized_projection(todo)
         results = {}
         for class_name in todo:
             results[class_name] = self.process_class(class_name)

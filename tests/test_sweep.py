@@ -151,3 +151,34 @@ def test_amortized_projection_in_find_parameters(tmp_path, monkeypatch):
     # later stages still ran per class
     assert ("refinement", "towel") in stage_calls
     assert ("evaluation", "clothes") in stage_calls
+
+
+def test_amortized_segmentation_phase(tmp_path, monkeypatch):
+    """run(amortize_segmentation=True) runs the 2D stage for all classes
+    scene-outer up front (segmentation_2d.run_classes) and the per-class
+    loop then skips it; a failure falls back to the per-class stage."""
+    cfg = Config()
+    r = SweepRunner(cfg, checkpoint_path=str(tmp_path / "s.txt"))
+    ran = {}
+    import beyondff_tpu.pipeline.segmentation_2d as s2d
+
+    monkeypatch.setattr(s2d, "Segmentor2D", lambda c: object())
+    monkeypatch.setattr(
+        s2d, "run_classes",
+        lambda c, classes, segmentor=None: ran.setdefault("classes", list(classes)))
+    stage_calls = []
+    monkeypatch.setattr(r, "_run_stage", lambda s, c: stage_calls.append((s, c)))
+    res = r.run(classes=["towel", "clothes"], amortize_segmentation=True)
+    assert ran["classes"] == ["towel", "clothes"]
+    assert not any(s == "segmentation" for s, _ in stage_calls)
+    assert all(all(v.values()) for v in res.values())
+
+    # failure path: run_classes raising leaves the per-class stage to do it
+    r2 = SweepRunner(cfg, checkpoint_path=str(tmp_path / "s2.txt"))
+    monkeypatch.setattr(s2d, "run_classes",
+                        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("x")))
+    calls2 = []
+    monkeypatch.setattr(r2, "_run_stage", lambda s, c: calls2.append((s, c)))
+    res2 = r2.run(classes=["towel", "clothes"], amortize_segmentation=True)
+    assert ("segmentation", "towel") in calls2
+    assert all(all(v.values()) for v in res2.values())

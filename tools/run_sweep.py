@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--retries", type=int, default=0, help="per-stage retry budget")
     ap.add_argument("--subprocess", action="store_true",
                     help="run stages as subprocesses for crash isolation")
+    ap.add_argument("--amortize-segmentation", action="store_true",
+                    help="run the 2D stage for ALL classes scene-outer first "
+                         "(per-scene frame bank; detection still per class)")
     args = ap.parse_args()
 
     cfg = Config.from_yaml(args.config)
@@ -39,7 +42,8 @@ def main():
                          skip_segmentation=args.find_parameters,
                          use_subprocess=args.subprocess, retries=args.retries)
     classes = args.classes.split(",") if args.classes else default_class_list(args.per_group)
-    results = runner.run(classes)
+    results = runner.run(classes,
+                         amortize_segmentation=args.amortize_segmentation)
     failed = [c for c, st in results.items() if not all(st.values())]
     print(f"[sweep] {len(results) - len(failed)}/{len(results)} classes complete"
           + (f"; failed: {failed}" if failed else ""))
