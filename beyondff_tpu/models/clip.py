@@ -180,6 +180,21 @@ class CLIP:
 
         self._encode_image_u8_mapped = jax.jit(encode_u8_mapped)
 
+        # YCrCb 4:2:0 crop transport (fast-variant hit regime is link-bound,
+        # ARCHITECTURE.md round-4 trace): crops cross the link packed at
+        # 1.5 B/px and unpack to the IDENTICAL uint8 RGB batch on device
+        # before the same normalize+encode — one jit program, one transfer.
+        def encode_u8_yuv(p, packed):
+            from beyondff_tpu.core import color as _color
+
+            n = self.cfg.image_resolution
+            imgs = jax.vmap(lambda b: _color._unpack_core(b, n, n))(packed)
+            return self.module.apply(
+                p, (imgs.astype(jnp.float32) / 255.0 - mean) / std,
+                method=CLIPModule.encode_image)
+
+        self._encode_image_u8_yuv = jax.jit(encode_u8_yuv)
+
     @classmethod
     def create(cls, name_or_cfg="ViT-L/14", seed: int = 0, dtype=jnp.float32,
                device_fill: bool = False) -> "CLIP":
@@ -203,6 +218,16 @@ class CLIP:
                 return self._encode_image_u8_mapped(self.params, x)
             return self._encode_image_u8(self.params, x)
         return self._encode_image(self.params, x)
+
+    def encode_image_packed_yuv(self, packed) -> jnp.ndarray:
+        """(B, 1.5*n*n) uint8 YCrCb 4:2:0 buffers (core.color.pack_ycrcb420 of
+        n x n uint8 RGB crops) -> (B, embed_dim). Bit-identical to
+        ``encode_image(roundtrip)`` of the same crops at half the upload
+        bytes; used by the seg2d crop filter in YOLO-World mode (the raw
+        uint8 crop source, segmentation_2d_yolo_world.py:505-515 — GDINO-mode
+        crops are normalize-wrapped sawtooths where chroma subsampling would
+        not be near-lossless, so they stay dense)."""
+        return self._encode_image_u8_yuv(self.params, jnp.asarray(packed, jnp.uint8))
 
     def encode_text(self, tokens) -> jnp.ndarray:
         return self._encode_text(self.params, jnp.asarray(tokens, jnp.int32))

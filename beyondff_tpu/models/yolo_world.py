@@ -162,61 +162,117 @@ class SPPF(nn.Module):
 
 
 class YOLOWorldModule(nn.Module):
+    """setup()-style module split into a text-INDEPENDENT :meth:`backbone`
+    and a text-conditioned :meth:`detect` (PAN + WorldDetect): the multi-class
+    sweep banks per-frame backbone features and re-runs only the guided half
+    per class (the reference re-runs the whole detector per (class, frame),
+    run_evl.py:103-118 x segmentation_2d_yolo_world.py:195-210). Parameter
+    names are identical to the previous @nn.compact form (converter/fixture
+    compatible)."""
+
     cfg: YOLOWorldConfig
     dtype: jnp.dtype = jnp.float32
 
     def _w(self, ch: int) -> int:
         return _make_div(min(ch, self.cfg.max_channels) * self.cfg.width)
 
-    @nn.compact
-    def __call__(self, images, text_embeds):
-        """images (B, H, W, 3) in [0,1]; text_embeds (C_cls, text_dim) L2-normed.
-
-        Returns (boxes (B, A, 4) xyxy in pixels, cls_logits (B, A, C_cls))
-        over all anchors A of strides 8/16/32.
-        """
+    def setup(self):
         c = self.cfg
         w = self._w
         d = lambda n: max(1, round(n * c.depth))
         nh = c.attn_heads
 
         # ------------------------------------------------ backbone (0-9)
-        x = ConvBN(w(64), 3, 2, dtype=self.dtype, name="stem")(images)  # /2
-        x = ConvBN(w(128), 3, 2, dtype=self.dtype, name="down1")(x)  # /4
-        x = C2f(w(128), d(3), dtype=self.dtype, name="c2f1")(x)
-        x = ConvBN(w(256), 3, 2, dtype=self.dtype, name="down2")(x)  # /8
-        p3 = C2f(w(256), d(6), dtype=self.dtype, name="c2f2")(x)
-        x = ConvBN(w(512), 3, 2, dtype=self.dtype, name="down3")(p3)  # /16
-        p4 = C2f(w(512), d(6), dtype=self.dtype, name="c2f3")(x)
-        x = ConvBN(w(1024), 3, 2, dtype=self.dtype, name="down4")(p4)  # /32
-        x = C2f(w(1024), d(3), dtype=self.dtype, name="c2f4")(x)
-        p5 = SPPF(w(1024), dtype=self.dtype, name="sppf")(x)
+        self.stem = ConvBN(w(64), 3, 2, dtype=self.dtype, name="stem")
+        self.down1 = ConvBN(w(128), 3, 2, dtype=self.dtype, name="down1")
+        self.c2f1 = C2f(w(128), d(3), dtype=self.dtype, name="c2f1")
+        self.down2 = ConvBN(w(256), 3, 2, dtype=self.dtype, name="down2")
+        self.c2f2 = C2f(w(256), d(6), dtype=self.dtype, name="c2f2")
+        self.down3 = ConvBN(w(512), 3, 2, dtype=self.dtype, name="down3")
+        self.c2f3 = C2f(w(512), d(6), dtype=self.dtype, name="c2f3")
+        self.down4 = ConvBN(w(1024), 3, 2, dtype=self.dtype, name="down4")
+        self.c2f4 = C2f(w(1024), d(3), dtype=self.dtype, name="c2f4")
+        self.sppf = SPPF(w(1024), dtype=self.dtype, name="sppf")
 
         # --------------------------------- text-guided PAN (12/15/16/18/19/21)
-        up = jax.image.resize(p5, (p5.shape[0], *p4.shape[1:3], p5.shape[-1]), "nearest")
-        f12 = C2fAttn(w(512), d(3), nh[0], dtype=self.dtype, name="t4")(
-            jnp.concatenate([up, p4], -1), text_embeds)
-        up = jax.image.resize(f12, (f12.shape[0], *p3.shape[1:3], f12.shape[-1]), "nearest")
-        f15 = C2fAttn(w(256), d(3), nh[1], dtype=self.dtype, name="t3")(
-            jnp.concatenate([up, p3], -1), text_embeds)
-        dn = ConvBN(w(256), 3, 2, dtype=self.dtype, name="pan_d3")(f15)
-        f18 = C2fAttn(w(512), d(3), nh[2], dtype=self.dtype, name="t4b")(
-            jnp.concatenate([dn, f12], -1), text_embeds)
-        dn = ConvBN(w(512), 3, 2, dtype=self.dtype, name="pan_d4")(f18)
-        f21 = C2fAttn(w(1024), d(3), nh[3], dtype=self.dtype, name="t5")(
-            jnp.concatenate([dn, p5], -1), text_embeds)
+        self.t4 = C2fAttn(w(512), d(3), nh[0], dtype=self.dtype, name="t4")
+        self.t3 = C2fAttn(w(256), d(3), nh[1], dtype=self.dtype, name="t3")
+        self.pan_d3 = ConvBN(w(256), 3, 2, dtype=self.dtype, name="pan_d3")
+        self.t4b = C2fAttn(w(512), d(3), nh[2], dtype=self.dtype, name="t4b")
+        self.pan_d4 = ConvBN(w(512), 3, 2, dtype=self.dtype, name="pan_d4")
+        self.t5 = C2fAttn(w(1024), d(3), nh[3], dtype=self.dtype, name="t5")
 
         # ------------------------------------------------ WorldDetect (22)
+        ch15 = w(256)  # channels of f15, statically known
+        c2h = max(16, ch15 // 4, 4 * c.reg_max)
+        c3 = max(ch15, min(c.nc, 100))
+        self.reg_branches = [
+            [ConvBN(c2h, 3, dtype=self.dtype, name=f"reg{li}_0"),
+             ConvBN(c2h, 3, dtype=self.dtype, name=f"reg{li}_1"),
+             nn.Conv(4 * c.reg_max, (1, 1), dtype=self.dtype, name=f"reg{li}_2")]
+            for li in range(3)
+        ]
+        self.cls_branches = [
+            [ConvBN(c3, 3, dtype=self.dtype, name=f"cls{li}_0"),
+             ConvBN(c3, 3, dtype=self.dtype, name=f"cls{li}_1"),
+             nn.Conv(c.embed_dim, (1, 1), dtype=self.dtype, name=f"cls{li}_2")]
+            for li in range(3)
+        ]
+        if c.bn_head:  # BNContrastiveHead (worldv2)
+            self.head_norms = [
+                nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                             name=f"head{li}_norm")
+                for li in range(3)
+            ]
+        self.head_scales = [
+            self.param(f"head{li}_logit_scale",
+                       nn.initializers.constant(
+                           -1.0 if c.bn_head else np.log(1 / 0.07)), ())
+            for li in range(3)
+        ]
+        self.head_biases = [
+            self.param(f"head{li}_bias", nn.initializers.constant(-10.0), (1,))
+            for li in range(3)
+        ]
+
+    def backbone(self, images):
+        """images (B, H, W, 3) in [0,1] -> text-independent pyramid
+        (p3 /8, p4 /16, p5 /32). Cacheable across queries of a frame."""
+        x = self.stem(images)  # /2
+        x = self.down1(x)  # /4
+        x = self.c2f1(x)
+        x = self.down2(x)  # /8
+        p3 = self.c2f2(x)
+        x = self.down3(p3)  # /16
+        p4 = self.c2f3(x)
+        x = self.down4(p4)  # /32
+        x = self.c2f4(x)
+        p5 = self.sppf(x)
+        return p3, p4, p5
+
+    def detect(self, p3, p4, p5, text_embeds):
+        """Text-guided PAN + WorldDetect head over a backbone pyramid.
+
+        Returns (boxes (B, A, 4) xyxy in pixels, cls_logits (B, A, C_cls))
+        over all anchors A of strides 8/16/32."""
+        c = self.cfg
+        up = jax.image.resize(p5, (p5.shape[0], *p4.shape[1:3], p5.shape[-1]), "nearest")
+        f12 = self.t4(jnp.concatenate([up, p4], -1), text_embeds)
+        up = jax.image.resize(f12, (f12.shape[0], *p3.shape[1:3], f12.shape[-1]), "nearest")
+        f15 = self.t3(jnp.concatenate([up, p3], -1), text_embeds)
+        dn = self.pan_d3(f15)
+        f18 = self.t4b(jnp.concatenate([dn, f12], -1), text_embeds)
+        dn = self.pan_d4(f18)
+        f21 = self.t5(jnp.concatenate([dn, p5], -1), text_embeds)
+
         feats = [(f15, 8), (f18, 16), (f21, 32)]
-        c2h = max(16, feats[0][0].shape[-1] // 4, 4 * c.reg_max)
-        c3 = max(feats[0][0].shape[-1], min(c.nc, 100))
         boxes_all, cls_all = [], []
         for li, (feat, stride) in enumerate(feats):
             b, hh, ww, _ = feat.shape
             # box branch (Detect.cv2): Conv, Conv, Conv2d(4*reg_max)
-            rb = ConvBN(c2h, 3, dtype=self.dtype, name=f"reg{li}_0")(feat)
-            rb = ConvBN(c2h, 3, dtype=self.dtype, name=f"reg{li}_1")(rb)
-            rb = nn.Conv(4 * c.reg_max, (1, 1), dtype=self.dtype, name=f"reg{li}_2")(rb)
+            rb = feat
+            for layer in self.reg_branches[li]:
+                rb = layer(rb)
             # DFL: expectation over softmaxed bins (ultralytics DFL conv)
             dist = jax.nn.softmax(
                 rb.reshape(b, hh * ww, 4, c.reg_max).astype(jnp.float32), -1)
@@ -230,27 +286,28 @@ class YOLOWorldModule(nn.Module):
             boxes_all.append(jnp.concatenate([x1y1, x2y2], -1))
 
             # cls branch (WorldDetect.cv3): Conv, Conv, Conv2d(embed)
-            cb = ConvBN(c3, 3, dtype=self.dtype, name=f"cls{li}_0")(feat)
-            cb = ConvBN(c3, 3, dtype=self.dtype, name=f"cls{li}_1")(cb)
-            cb = nn.Conv(c.embed_dim, (1, 1), dtype=self.dtype, name=f"cls{li}_2")(cb)
+            cb = feat
+            for layer in self.cls_branches[li]:
+                cb = layer(cb)
             # contrastive head (WorldDetect.cv4)
             txt = text_embeds.astype(jnp.float32)
             txt = txt / (jnp.linalg.norm(txt, axis=-1, keepdims=True) + 1e-12)
-            if c.bn_head:  # BNContrastiveHead (worldv2)
-                cb = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
-                                  name=f"head{li}_norm")(cb)
+            if c.bn_head:
+                cb = self.head_norms[li](cb)
             else:  # ContrastiveHead: L2 over channels
                 cb = cb / (jnp.linalg.norm(cb.astype(jnp.float32), axis=-1,
                                            keepdims=True) + 1e-12).astype(self.dtype)
-            logit_scale = self.param(
-                f"head{li}_logit_scale",
-                nn.initializers.constant(-1.0 if c.bn_head else np.log(1 / 0.07)), ())
-            bias = self.param(f"head{li}_bias", nn.initializers.constant(-10.0), (1,))
             logits = jnp.einsum("bhwc,kc->bhwk", cb.astype(jnp.float32), txt)
-            logits = logits * jnp.exp(logit_scale) + bias
+            logits = logits * jnp.exp(self.head_scales[li]) + self.head_biases[li]
             cls_all.append(logits.reshape(b, hh * ww, -1))
 
         return jnp.concatenate(boxes_all, 1), jnp.concatenate(cls_all, 1)
+
+    def __call__(self, images, text_embeds):
+        """images (B, H, W, 3) in [0,1]; text_embeds (C_cls, text_dim)
+        L2-normed. detect(backbone(images)) — see the split methods."""
+        p3, p4, p5 = self.backbone(images)
+        return self.detect(p3, p4, p5, text_embeds)
 
 
 def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, top_k: int):
@@ -302,20 +359,30 @@ class YOLOWorld:
         self._nms = jax.jit(nms_fixed, static_argnames=("top_k",))
         self._text_cache = {}
 
-        # fused frame-batch program for the pipelined seg2d driver: device
-        # resize (frames upload once, EfficientSAM-scaled) -> forward -> NMS
-        # -> packed (B, K, 6) rows [score | xyxy(det-space) | cls] so one
+        # SPLIT frame-batch programs for the pipelined seg2d driver —
+        # (1) device resize (frames upload once, EfficientSAM-scaled) ->
+        # text-independent backbone pyramid, (2) text-guided PAN + head ->
+        # NMS -> packed (B, K, 6) rows [score | xyxy(det-space) | cls] so one
         # download finalizes the whole batch (mirrors GDINO's
         # _forward_topk_frames; the reference's YOLO path runs per frame with
-        # host-side supervision NMS, segmentation_2d_yolo_world.py:195-210)
+        # host-side supervision NMS, segmentation_2d_yolo_world.py:195-210).
+        # The split lets the multi-class sweep BANK per-frame backbone
+        # features and pay only program (2) per extra class; both drivers run
+        # the same two programs so stage files stay byte-identical.
         h, w = cfg.img_size
         k = cfg.max_dets
 
-        def fwd_frames_topk(p, frames_u8, txt, nms_iou):
+        def bb_frames(p, frames_u8):
             b = frames_u8.shape[0]
             x = jax.image.resize(frames_u8.astype(jnp.float32), (b, h, w, 3),
                                  "bilinear", antialias=False) / 255.0
-            boxes, logits = self.module.apply(p, x, txt)
+            return self.module.apply(p, x, method=YOLOWorldModule.backbone)
+
+        self._backbone_frames = jax.jit(bb_frames)
+
+        def head_topk(p, feats, txt, nms_iou):
+            boxes, logits = self.module.apply(p, *feats, txt,
+                                              method=YOLOWorldModule.detect)
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
             cls_id = jnp.argmax(probs, -1)
             scores = jnp.max(probs, -1)
@@ -330,7 +397,7 @@ class YOLOWorld:
 
             return jax.vmap(one)(boxes, scores, cls_id)
 
-        self._forward_frames_topk = jax.jit(fwd_frames_topk)
+        self._head_topk = jax.jit(head_topk)
 
     @classmethod
     def create(cls, name_or_cfg="l", seed: int = 0, dtype=jnp.float32) -> "YOLOWorld":
@@ -405,17 +472,32 @@ class YOLOWorld:
         return out, scores, phrases
 
     # ------------------------------------------------ pipelined frame path
+    supports_feats_cache = True
+
     def predict_batch_frames_async(self, frames_dev, caption: str,
-                                   nms_iou: float = 0.5):
+                                   nms_iou: float = 0.5, feats_cache=None):
         """Dispatch-only detection on an already-uploaded uint8 frame buffer
         (any resolution; device-resized to the detector input). Same contract
         as ``GroundingDINO.predict_batch_frames_async`` so the seg2d driver's
         software pipeline (in-flight batches, eager SAM encode) serves this
-        detector too. Finish with :meth:`predict_finalize`."""
+        detector too. Finish with :meth:`predict_finalize`.
+
+        ``feats_cache``: optional ``(dict, key)`` — the multi-class sweep's
+        per-scene bank. The text-independent backbone pyramid for this frame
+        batch is computed once, stored device-resident under ``key``, and
+        every later class's detection pays only the text-guided PAN + head
+        program (the reference re-runs the whole detector per class)."""
         classes = [c.strip() for c in caption.rstrip(".").split(".") if c.strip()]
         txt = self.class_embeddings(classes)
-        packed = self._forward_frames_topk(self.params, frames_dev,
-                                           jnp.asarray(txt), nms_iou)
+        feats = None
+        if feats_cache is not None:
+            bank, key = feats_cache
+            feats = bank.get(key)
+        if feats is None:
+            feats = self._backbone_frames(self.params, frames_dev)
+            if feats_cache is not None:
+                bank[key] = feats
+        packed = self._head_topk(self.params, feats, jnp.asarray(txt), nms_iou)
         return packed, classes
 
     def predict_finalize(self, handle, box_threshold: float = 0.02,

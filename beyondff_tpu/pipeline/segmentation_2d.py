@@ -253,7 +253,23 @@ class Segmentor2D:
         if k > n:
             batch = np.concatenate(
                 [batch, np.zeros((k - n, *batch.shape[1:]), batch.dtype)])
-        feats_dev = self.clip.encode_image(batch)
+        # YCrCb 4:2:0 transport for CLIP crop uploads (BFF_CLIP_YUV=1/0
+        # forces): auto-on only in YOLO-World mode, whose crops are raw uint8
+        # image content (the near-lossless case, same argument as the frame
+        # transport — core/color.py); GDINO-mode crops are LUT-normalized
+        # sawtooths (multiple uint8 wraps per channel) where 2x2 chroma
+        # averaging smears across wrap discontinuities, so they stay dense.
+        cy = os.environ.get("BFF_CLIP_YUV", "auto")
+        crop_yuv = (self.cfg.detector.kind == "yolo_world"
+                    and os.environ.get("BFF_SEG2D_YUV", "1") != "0"
+                    ) if cy == "auto" else cy == "1"
+        if crop_yuv and hasattr(self.clip, "encode_image_packed_yuv"):
+            from beyondff_tpu.core import color as _color
+
+            packed = np.stack([_color.pack_ycrcb420(c) for c in batch])
+            feats_dev = self.clip.encode_image_packed_yuv(packed)
+        else:
+            feats_dev = self.clip.encode_image(batch)
         try:
             feats_dev.copy_to_host_async()
         except AttributeError:
@@ -623,7 +639,15 @@ class Segmentor2D:
             with _span("det_dispatch"):
                 if frames_dev is None:
                     frames_dev = _stack_jit(len(devs))(*devs)
-                handle = self.detector.predict_batch_frames_async(frames_dev, query)
+                kw = {}
+                if bank is not None and getattr(self.detector,
+                                                "supports_feats_cache", False):
+                    # multi-class sweep: bank the text-independent backbone
+                    # pyramid per frame chunk; later classes re-run only the
+                    # text-guided half (models/yolo_world.py)
+                    kw["feats_cache"] = (bank, ("det_feats", tuple(fids)))
+                handle = self.detector.predict_batch_frames_async(
+                    frames_dev, query, **kw)
                 try:
                     # start the packed-result D2H as soon as detection lands,
                     # overlapping the transfer with the queued SAM/CLIP work

@@ -94,3 +94,27 @@ def test_clip_bpe_tokenizer_with_synthetic_vocab(tmp_path):
     # EOT directly after the two word tokens
     eot_pos = list(out[0]).index(tok.eot)
     assert eot_pos == 3
+
+
+def test_encode_image_packed_yuv_matches_roundtripped_dense(tiny_clip):
+    """The YCrCb 4:2:0 crop transport (fast-variant CLIP filter) must encode
+    exactly the crops the device unpack produces — i.e. the only deviation
+    vs dense upload is the measured transport error (tests/test_color.py),
+    never an extra one from the fused unpack+encode program."""
+    from beyondff_tpu.core import color
+
+    n = tiny_clip.cfg.image_resolution
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (n // 2, n // 2, 3), np.uint8)
+    import cv2
+
+    crops = np.stack([
+        cv2.resize(base, (n, n), interpolation=cv2.INTER_CUBIC),
+        rng.integers(0, 256, (n, n, 3), np.uint8),
+    ])
+    packed = np.stack([color.pack_ycrcb420(c) for c in crops])
+    got = np.asarray(tiny_clip.encode_image_packed_yuv(packed))
+    # reference: unpack on device with the SAME op, then the dense encode
+    unpacked = np.stack([np.asarray(color.upload_frame(c, yuv=True)) for c in crops])
+    want = np.asarray(tiny_clip.encode_image(unpacked))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

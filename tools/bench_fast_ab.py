@@ -1,0 +1,157 @@
+"""A/B harness for the FAST variant (YOLO-World + EfficientSAM) pipeline.
+
+Two measurement modes on the bench synthetic scene, both using the exact
+fast-pipeline configuration from bench.py (max_dets clamped to the
+workload-faithful value, CLIP crop filter on, calibrated thresholds):
+
+1. Knob sweep (default): interleaved paired rounds over an env knob, e.g.
+
+       BFF_FAST_KNOB=BFF_CLIP_YUV BFF_FAST_VARIANTS=1,0 \
+           BFF_FAST_REGIME=hit python tools/bench_fast_ab.py
+
+   The shared tunnel's bandwidth drifts between sessions (CLAUDE.md), so
+   each round runs every variant once and the verdict compares best-of.
+
+2. Multi-class (BFF_FAST_CLASSES=4): per-class wall clock of the scene-outer
+   frame bank (run_classes access pattern) — class 1 pays JPEG decode +
+   uploads + backbone, later classes reuse the banked device buffers AND the
+   banked text-independent backbone pyramid (models/yolo_world.py split),
+   re-running only the text-guided PAN + head per class.
+
+Regimes: miss (box_threshold above every score — no masks) and hit (every
+frame detects ~boxes_target boxes).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def build_seg(n_frames, boxes_target, dtype_name="bfloat16"):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    import bench
+    from beyondff_tpu.config import Config
+    from beyondff_tpu.models import clip as clip_mod, efficientsam, yolo_world
+    from beyondff_tpu.models.tokenizers import HashTokenizer
+    from beyondff_tpu.pipeline.segmentation_2d import Segmentor2D
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    width, height = 1296, 968
+    root = "/tmp/bff_bench_scene_full"
+    bench.make_scene(root, n_frames, width, height)
+
+    t0 = time.time()
+    yw = yolo_world.YOLOWorld.create("l", dtype=dtype)
+    esam = efficientsam.EfficientSAM.create("vits", dtype=dtype)
+    clip = clip_mod.CLIP.create("ViT-L/14", dtype=dtype, device_fill=True)
+    print(f"# models built in {time.time() - t0:.1f}s", flush=True)
+
+    # same workload-faithful max_dets clamp as bench.fast_pipeline_wall_clock
+    # (the random-init contrastive head saturates; see the comment there)
+    k = 2 * boxes_target
+    if yw.cfg.max_dets > k:
+        yw = yolo_world.YOLOWorld(dataclasses.replace(yw.cfg, max_dets=k),
+                                  yw.params, dtype=dtype)
+    cfg = Config.from_dict({
+        "paths": {"scene_2d_dir": root},
+        "frames": {"width_2d": width, "height_2d": height, "downsample_ratio": 1},
+        "detector": {"kind": "yolo_world", "box_threshold": -1.0,
+                     "must_match_query": False, "similarity_threshold": -10.0,
+                     "max_detections": boxes_target, "dtype": dtype_name,
+                     "frame_batch": int(os.environ.get("BFF_BENCH_FRAME_BATCH", "4"))},
+    })
+    seg = Segmentor2D(cfg, detector=yw, sam=esam, clip_model=clip,
+                      clip_tokenizer=HashTokenizer(clip.cfg.vocab_size,
+                                                   clip.cfg.context_length))
+    return seg, cfg, root, (width, height)
+
+
+def calibrate(seg, cfg, root, size, boxes_target, regime):
+    from beyondff_tpu.utils import io as bio
+
+    if regime == "miss":
+        seg.cfg = cfg.override(**{"detector.box_threshold": 2.0})
+        return
+    frame0 = bio.load_image(os.path.join(root, "scene0000_00", "color", "0.jpg"),
+                            size=size)
+    _b, scores, _p = seg.detector.predict(frame0, "clothes", box_threshold=-1.0)
+    scores = np.sort(np.asarray(scores))[::-1]
+    thr = float(scores[boxes_target - 1]) - 1e-6 if scores.size >= boxes_target else -1.0
+    seg.cfg = cfg.override(**{"detector.box_threshold": thr})
+    print(f"# calibrated box_threshold={thr:.4f}", flush=True)
+
+
+def main():
+    n_classes = int(os.environ.get("BFF_FAST_CLASSES", "0"))
+    regimes = os.environ.get("BFF_FAST_REGIME", "hit").split(",")
+    n_frames = int(os.environ.get("BFF_BENCH_FRAMES", "48"))
+    boxes_target = int(os.environ.get("BFF_BENCH_BOXES", "4"))
+    passes = int(os.environ.get("BFF_FAST_PASSES", "3"))
+
+    seg, cfg, root, size = build_seg(n_frames, boxes_target)
+
+    modes = os.environ.get(
+        "BFF_FAST_MODES", "multi" if n_classes > 1 else "knob").split(",")
+
+    for regime in regimes:
+        calibrate(seg, cfg, root, size, boxes_target, regime)
+
+        if "multi" in modes and n_classes > 1:
+            # ---- multi-class frame-bank mode
+            classes = [f"class{j}" for j in range(n_classes)]
+            t0 = time.time()
+            seg.process_scene("scene0000_00", "warmup")
+            print(f"# warmup {time.time() - t0:.1f}s", flush=True)
+            best = {}
+            for p in range(passes):
+                bank = {}
+                for j, c in enumerate(classes):
+                    t0 = time.time()
+                    recs = seg.process_scene("scene0000_00", c, frame_bank=bank)
+                    dt = time.time() - t0
+                    label = "first" if j == 0 else f"banked{j}"
+                    best[label] = max(best.get(label, 0.0), n_frames / dt)
+                    print(f"  pass{p} {regime} [{label}] {n_frames / dt:.2f} f/s "
+                          f"({len(recs)} frames with boxes)", flush=True)
+            banked = [v for k, v in best.items() if k.startswith("banked")]
+            print(f"{regime}-regime multiclass best-of-{passes}: "
+                  f"first {best['first']:.2f} f/s, banked "
+                  f"{np.mean(banked):.2f} f/s avg (max {max(banked):.2f}) -> "
+                  f"amortization x{np.mean(banked) / best['first']:.2f}", flush=True)
+
+        if "knob" not in modes:
+            continue
+
+        # ---- knob-sweep mode
+        knob = os.environ.get("BFF_FAST_KNOB", "BFF_CLIP_YUV")
+        variants = os.environ.get("BFF_FAST_VARIANTS", "1,0").split(",")
+        t0 = time.time()
+        seg.process_scene("scene0000_00", "clothes")
+        print(f"# warmup {time.time() - t0:.1f}s", flush=True)
+        results = {v: [] for v in variants}
+        for p in range(passes):
+            for v in variants:
+                os.environ[knob] = v
+                t0 = time.time()
+                recs = seg.process_scene("scene0000_00", "clothes")
+                dt = time.time() - t0
+                results[v].append(n_frames / dt)
+                print(f"  pass{p} {regime} [{knob}={v}] {n_frames / dt:.2f} f/s "
+                      f"({len(recs)} frames with boxes, "
+                      f"{sum(len(r['confidences']) for r in recs)} masks)",
+                      flush=True)
+        os.environ.pop(knob, None)
+        for v in variants:
+            print(f"{regime}-regime [{knob}={v}]: best {max(results[v]):.2f} f/s "
+                  f"(all={[round(x, 2) for x in results[v]]})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
