@@ -640,11 +640,14 @@ class Segmentor2D:
                 if frames_dev is None:
                     frames_dev = _stack_jit(len(devs))(*devs)
                 kw = {}
-                if bank is not None and getattr(self.detector,
-                                                "supports_feats_cache", False):
+                if (bank is not None
+                        and getattr(self.detector, "supports_feats_cache", False)
+                        and os.environ.get("BFF_SEG2D_BANK_FEATS", "1") != "0"):
                     # multi-class sweep: bank the text-independent backbone
                     # pyramid per frame chunk; later classes re-run only the
-                    # text-guided half (models/yolo_world.py)
+                    # text-conditioned half (models/yolo_world.py split,
+                    # models/gdino/model.py split — GDINO banks ~9 MB/frame
+                    # bf16, so BFF_SEG2D_BANK_FEATS=0 opts long scenes out)
                     kw["feats_cache"] = (bank, ("det_feats", tuple(fids)))
                 handle = self.detector.predict_batch_frames_async(
                     frames_dev, query, **kw)

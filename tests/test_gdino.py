@@ -172,3 +172,61 @@ def test_predict_batch_frames_matches_host_path(rng):
         np.testing.assert_allclose(gb, rb, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(gs, rs, rtol=1e-4, atol=1e-5)
         assert gp == rp
+
+def test_split_backbone_detect_matches_call(tiny_gdino):
+    """detect(backbone(x)) must be BIT-identical to __call__(x): the
+    multi-class sweep banks the text-independent preamble and re-runs only
+    the text-conditioned half (models/gdino/model.py split)."""
+    import jax
+
+    from beyondff_tpu.models.gdino.model import GDINOModule
+
+    g = tiny_gdino
+    h, w = g.cfg.image_size
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32))
+    t = 8
+    ids = jnp.asarray(rng.integers(5, 50, (1, t)), jnp.int32)
+    sm = jnp.ones((1, t, t), bool)
+    pm = jnp.ones((1, t), bool)
+    pos = jnp.asarray(np.arange(t)[None], jnp.int32)
+    lo, bo = g.module.apply(g.params, img, ids, sm, pm, pos)
+    feats = g.module.apply(g.params, img, method=GDINOModule.backbone)
+    lo2, bo2 = g.module.apply(g.params, feats, ids, sm, pm, pos,
+                              method=GDINOModule.detect)
+    assert jnp.array_equal(lo, lo2) and jnp.array_equal(bo, bo2)
+
+
+def test_async_feats_cache_matches_uncached(rng):
+    """predict_batch_frames_async with a feats_cache (multi-class banking)
+    must produce the same detections as the uncached dispatch, and the
+    second call must be served from the bank."""
+    from beyondff_tpu.models.gdino import GroundingDINO
+
+    gd = GroundingDINO.create("test", seed=0)
+    assert gd.supports_feats_cache
+    h, w = gd.cfg.image_size
+    frames = jnp.asarray(
+        rng.integers(0, 255, (2, h, w, 3)).astype(np.uint8))
+    ref = gd.predict_finalize(
+        gd.predict_batch_frames_async(frames, "chair"), box_threshold=-1.0)
+
+    bank = {}
+    got1 = gd.predict_finalize(
+        gd.predict_batch_frames_async(frames, "chair",
+                                      feats_cache=(bank, ("det_feats", 0))),
+        box_threshold=-1.0)
+    assert ("det_feats", 0) in bank
+    feats_id = id(bank[("det_feats", 0)])
+    got2 = gd.predict_finalize(
+        gd.predict_batch_frames_async(frames, "chair",
+                                      feats_cache=(bank, ("det_feats", 0))),
+        box_threshold=-1.0)
+    assert id(bank[("det_feats", 0)]) == feats_id  # cache hit, not recompute
+
+    for (rb, rs, rp), (gb, gs, gp), (hb, hs, hp) in zip(ref, got1, got2):
+        np.testing.assert_allclose(gb, rb, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(gs, rs, rtol=1e-5, atol=1e-6)
+        assert gp == rp
+        np.testing.assert_array_equal(gb, hb)
+        np.testing.assert_array_equal(gs, hs)

@@ -1,4 +1,6 @@
-"""A/B harness for the FAST variant (YOLO-World + EfficientSAM) pipeline.
+"""A/B harness for the seg2d pipeline — FAST variant (YOLO-World +
+EfficientSAM, default) or the headline GDINO+SAM path
+(BFF_FAST_DETECTOR=gdino).
 
 Two measurement modes on the bench synthetic scene, both using the exact
 fast-pipeline configuration from bench.py (max_dets clamped to the
@@ -38,36 +40,49 @@ def build_seg(n_frames, boxes_target, dtype_name="bfloat16"):
 
     import bench
     from beyondff_tpu.config import Config
-    from beyondff_tpu.models import clip as clip_mod, efficientsam, yolo_world
+    from beyondff_tpu.models import clip as clip_mod
     from beyondff_tpu.models.tokenizers import HashTokenizer
     from beyondff_tpu.pipeline.segmentation_2d import Segmentor2D
 
+    detector_kind = os.environ.get("BFF_FAST_DETECTOR", "yolo_world")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     width, height = 1296, 968
     root = "/tmp/bff_bench_scene_full"
     bench.make_scene(root, n_frames, width, height)
 
     t0 = time.time()
-    yw = yolo_world.YOLOWorld.create("l", dtype=dtype)
-    esam = efficientsam.EfficientSAM.create("vits", dtype=dtype)
+    if detector_kind == "gdino":
+        from beyondff_tpu.models import sam as sam_mod
+        from beyondff_tpu.models.gdino import GroundingDINO
+
+        det = GroundingDINO.create("swinb", dtype=dtype, device_fill=True)
+        seg_model = sam_mod.SAM.create("vit_h", dtype=dtype, device_fill=True)
+        det_cfg = {}
+    else:
+        from beyondff_tpu.models import efficientsam, yolo_world
+
+        det = yolo_world.YOLOWorld.create("l", dtype=dtype)
+        seg_model = efficientsam.EfficientSAM.create("vits", dtype=dtype)
+        # same workload-faithful max_dets clamp as
+        # bench.fast_pipeline_wall_clock (the random-init contrastive head
+        # saturates; see the comment there)
+        k = 2 * boxes_target
+        if det.cfg.max_dets > k:
+            det = yolo_world.YOLOWorld(dataclasses.replace(det.cfg, max_dets=k),
+                                       det.params, dtype=dtype)
+        det_cfg = {"kind": "yolo_world"}
     clip = clip_mod.CLIP.create("ViT-L/14", dtype=dtype, device_fill=True)
     print(f"# models built in {time.time() - t0:.1f}s", flush=True)
 
-    # same workload-faithful max_dets clamp as bench.fast_pipeline_wall_clock
-    # (the random-init contrastive head saturates; see the comment there)
-    k = 2 * boxes_target
-    if yw.cfg.max_dets > k:
-        yw = yolo_world.YOLOWorld(dataclasses.replace(yw.cfg, max_dets=k),
-                                  yw.params, dtype=dtype)
     cfg = Config.from_dict({
         "paths": {"scene_2d_dir": root},
         "frames": {"width_2d": width, "height_2d": height, "downsample_ratio": 1},
-        "detector": {"kind": "yolo_world", "box_threshold": -1.0,
+        "detector": {**det_cfg, "box_threshold": -1.0,
                      "must_match_query": False, "similarity_threshold": -10.0,
                      "max_detections": boxes_target, "dtype": dtype_name,
                      "frame_batch": int(os.environ.get("BFF_BENCH_FRAME_BATCH", "4"))},
     })
-    seg = Segmentor2D(cfg, detector=yw, sam=esam, clip_model=clip,
+    seg = Segmentor2D(cfg, detector=det, sam=seg_model, clip_model=clip,
                       clip_tokenizer=HashTokenizer(clip.cfg.vocab_size,
                                                    clip.cfg.context_length))
     return seg, cfg, root, (width, height)
