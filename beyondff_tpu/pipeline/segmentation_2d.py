@@ -647,8 +647,19 @@ class Segmentor2D:
                     # pyramid per frame chunk; later classes re-run only the
                     # text-conditioned half (models/yolo_world.py split,
                     # models/gdino/model.py split — GDINO banks ~9 MB/frame
-                    # bf16, so BFF_SEG2D_BANK_FEATS=0 opts long scenes out)
-                    kw["feats_cache"] = (bank, ("det_feats", tuple(fids)))
+                    # bf16, so BFF_SEG2D_BANK_FEATS=0 opts long scenes out).
+                    # Pyramids are the bank's largest per-frame item; cap the
+                    # banked frame count (default 256 ~= 2.3 GB GDINO /
+                    # 1.4 GB YOLO) so downsampled-but-huge scenes can't OOM —
+                    # frames past the cap recompute per class, and a key
+                    # already present keeps serving (chunk boundaries are
+                    # identical across classes).
+                    cap = int(os.environ.get("BFF_SEG2D_BANK_FEATS_CAP", "256"))
+                    key = ("det_feats", tuple(fids))
+                    n_banked = sum(
+                        len(k[1]) for k in bank if k[0] == "det_feats")
+                    if key in bank or n_banked + len(fids) <= cap:
+                        kw["feats_cache"] = (bank, key)
                 handle = self.detector.predict_batch_frames_async(
                     frames_dev, query, **kw)
                 try:
