@@ -481,3 +481,44 @@ def test_run_classes_frame_bank_matches_per_class(tmp_path, monkeypatch, kind):
     again = s2d.run_classes(cfg2, ["clothes", "towel"], resume=True,
                             segmentor=seg)
     assert again == {"clothes": [], "towel": []}
+
+
+def test_feats_bank_cap_gates_banking_but_not_results(tmp_path, monkeypatch):
+    """BFF_SEG2D_BANK_FEATS_CAP=0 must keep multi-class results identical
+    while banking no backbone pyramids (the cap bounds device memory on
+    huge scenes; capped frames recompute per class)."""
+    import cv2
+
+    rng = np.random.default_rng(17)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(4):
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    cfg = Config.from_dict({
+        "paths": {"scene_2d_dir": str(tmp_path)},
+        "frames": {"width_2d": 64, "height_2d": 64, "downsample_ratio": 1},
+        "detector": {"box_threshold": 0.0, "must_match_query": False,
+                     "similarity_threshold": -10.0, "max_detections": 4,
+                     "dtype": "float32", "frame_batch": 2,
+                     "filter_with_clip": True},
+    })
+    seg = Segmentor2D(cfg)
+
+    bank = {}
+    banked = seg.process_scene("scene0000_00", "clothes", frame_bank=bank)
+    assert any(k[0] == "det_feats" for k in bank), "feats banked by default"
+
+    monkeypatch.setenv("BFF_SEG2D_BANK_FEATS_CAP", "0")
+    bank2 = {}
+    capped = seg.process_scene("scene0000_00", "clothes", frame_bank=bank2)
+    assert not any(k[0] == "det_feats" for k in bank2), "cap=0 banks nothing"
+
+    assert len(banked) == len(capped) > 0
+    for a, b in zip(banked, capped):
+        assert a["frame_id"] == b["frame_id"]
+        assert a["labels"] == b["labels"]
+        np.testing.assert_array_equal(a["segmented_frame_masks"],
+                                      b["segmented_frame_masks"])
+        np.testing.assert_allclose(a["confidences"], b["confidences"],
+                                   rtol=1e-6)
