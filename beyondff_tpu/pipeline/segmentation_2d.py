@@ -455,10 +455,12 @@ class Segmentor2D:
         (segmentation_2d.py:247-278).
 
         ``frame_bank``: optional dict shared across CLASSES of the same
-        scene (see :func:`run_classes`) — decoded host frames and uploaded
-        device buffers are stored under ("img"|"det"|"sam", frame_id) keys,
-        so a multi-class sweep pays each scene's JPEG decode and
-        host->device frame traffic once instead of once per class."""
+        scene (see :func:`run_classes`) — decoded host frames, uploaded
+        device buffers, detector backbone pyramids, and SAM encoder
+        embeddings are stored under ("img"|"det"|"sam"|"det_feats"|
+        "sam_emb", ...) keys, so a multi-class sweep pays each scene's JPEG
+        decode, host->device frame traffic, and text-independent encoder
+        work once instead of once per class."""
         p = self.cfg.paths
         d = self.cfg.detector
         size = (self.cfg.frames.width_2d, self.cfg.frames.height_2d)
@@ -680,6 +682,35 @@ class Segmentor2D:
         # filter-then-encode.
         eager_sam = os.environ.get("BFF_SEG2D_EAGER_SAM", "1") != "0"
 
+        # SAM embeddings are text-independent too: multi-class sweeps bank
+        # each hit frame's embedding under ("sam_emb", fid) so a frame that
+        # detects for several classes pays the ViT-H encode (~71 ms GDINO
+        # mode / ~21 ms EfficientSAM) once per scene instead of once per
+        # class. Embeddings are (g, g, d) ~4 MB f32 per frame, so the banked
+        # frame count is capped like the backbone-pyramid bank
+        # (BFF_SEG2D_BANK_EMB_CAP, default 256); frames past the cap simply
+        # re-encode. BFF_SEG2D_BANK_EMB=0 opts out.
+        bank_emb = (bank is not None and device_frames
+                    and os.environ.get("BFF_SEG2D_BANK_EMB", "1") != "0")
+
+        def encode_banked(fids, indices, enc_input):
+            if not bank_emb:
+                return self.sam.encode_frames(enc_input(indices))
+            cached = {i: bank.get(("sam_emb", fids[i])) for i in indices}
+            missing = [i for i in indices if cached[i] is None]
+            if missing:
+                fresh = self.sam.encode_frames(enc_input(missing))
+                cap = int(os.environ.get("BFF_SEG2D_BANK_EMB_CAP", "256"))
+                n_banked = sum(1 for k in bank if k[0] == "sam_emb")
+                for j, i in enumerate(missing):
+                    cached[i] = fresh[j]
+                    if n_banked < cap:
+                        bank[("sam_emb", fids[i])] = cached[i]
+                        n_banked += 1
+                if len(missing) == len(indices):
+                    return fresh
+            return _stack_jit(len(indices))(*[cached[i] for i in indices])
+
         # Three-stage deferred completion (device path): every device result
         # (detection packed, CLIP feats, packed masks) starts its D2H with
         # copy_to_host_async at dispatch and is MATERIALIZED one flush cycle
@@ -781,7 +812,7 @@ class Segmentor2D:
                 # every box the CLIP filter drops has paid its encode;
                 # detection-empty frames never encode either way.
                 with _span("sam_encode_dispatch"):
-                    embs = self.sam.encode_frames(enc_input(idx))
+                    embs = encode_banked(fids, idx, enc_input)
             feats_dev = n_crops = counts = None
             if self.clip is not None and d.filter_with_clip:
                 with _span("crop_build"):
@@ -824,7 +855,7 @@ class Segmentor2D:
                 return
             if embs is None:
                 with _span("sam_encode_dispatch"):
-                    embs = self.sam.encode_frames(enc_input(kept_idx))
+                    embs = encode_banked(fids, kept_idx, enc_input)
             elif len(kept_idx) < len(idx):
                 # narrow the eager-encoded embeddings to frames that still
                 # have boxes after the CLIP filter: an entirely-dropped frame
@@ -978,8 +1009,12 @@ def run_classes(cfg: Config, class_names: Sequence[str],
     (run_evl.py:103-118 x segmentation_2d.py:469-478). Detection itself is
     query-conditioned so it must re-run per class, but on the fast
     (YOLO-World) variant detection is ~5 ms/frame and the per-class cost is
-    dominated by exactly the IO this amortizes. Checkpoints stay
-    per-(class, scene), interchangeable with :func:`run`."""
+    dominated by exactly the IO this amortizes. The bank also holds the
+    text-independent halves of the device work: detector backbone pyramids
+    (both detectors' backbone()/detect() split) and SAM encoder embeddings
+    for hit frames — later classes re-run only the text-conditioned
+    detection half and the box decode. Checkpoints stay per-(class, scene),
+    interchangeable with :func:`run`."""
     p = cfg.paths
     if scenes is None:
         scenes = sorted(

@@ -483,6 +483,73 @@ def test_run_classes_frame_bank_matches_per_class(tmp_path, monkeypatch, kind):
     assert again == {"clothes": [], "towel": []}
 
 
+def test_sam_emb_bank_skips_reencode_with_identical_results(tmp_path, monkeypatch):
+    """Multi-class sweeps bank SAM encoder embeddings per hit frame
+    (("sam_emb", fid) keys): the second class re-encodes ONLY frames the
+    first class didn't hit, and the emitted records stay identical to an
+    un-banked run. BFF_SEG2D_BANK_EMB=0 opts out (no keys, same results)."""
+    import cv2
+
+    rng = np.random.default_rng(23)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(4):
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    cfg = Config.from_dict({
+        "paths": {"scene_2d_dir": str(tmp_path)},
+        "frames": {"width_2d": 64, "height_2d": 64, "downsample_ratio": 1},
+        "detector": {"box_threshold": 0.0, "must_match_query": False,
+                     "similarity_threshold": -10.0, "max_detections": 4,
+                     "dtype": "float32", "frame_batch": 2,
+                     "filter_with_clip": True},
+    })
+    seg = Segmentor2D(cfg)
+
+    encoded = []
+    real_encode = seg.sam.encode_frames
+
+    def counting_encode(frames_dev):
+        encoded.append(int(frames_dev.shape[0]))
+        return real_encode(frames_dev)
+
+    monkeypatch.setattr(seg.sam, "encode_frames", counting_encode)
+
+    # un-banked reference run
+    ref = seg.process_scene("scene0000_00", "towel")
+    assert len(ref) > 0 and sum(encoded) > 0
+
+    # banked: class 1 encodes its hit frames, class 2 re-encodes none of them
+    bank = {}
+    one = seg.process_scene("scene0000_00", "clothes", frame_bank=bank)
+    n_banked = sum(1 for k in bank if k[0] == "sam_emb")
+    assert n_banked > 0
+    encoded.clear()
+    two = seg.process_scene("scene0000_00", "towel", frame_bank=bank)
+    assert sum(encoded) == 0, "banked embeddings must skip re-encode"
+    assert len(one) > 0
+
+    def assert_same(a_records, b_records):
+        assert len(a_records) == len(b_records) > 0
+        for a, b in zip(a_records, b_records):
+            assert a["frame_id"] == b["frame_id"]
+            assert a["labels"] == b["labels"]
+            np.testing.assert_array_equal(a["segmented_frame_masks"],
+                                          b["segmented_frame_masks"])
+            np.testing.assert_allclose(a["confidences"], b["confidences"],
+                                       rtol=1e-6)
+
+    assert_same(ref, two)
+
+    # opt-out: no emb keys, identical results
+    monkeypatch.setenv("BFF_SEG2D_BANK_EMB", "0")
+    bank2 = {}
+    seg.process_scene("scene0000_00", "clothes", frame_bank=bank2)
+    assert not any(k[0] == "sam_emb" for k in bank2)
+    off = seg.process_scene("scene0000_00", "towel", frame_bank=bank2)
+    assert_same(ref, off)
+
+
 def test_feats_bank_cap_gates_banking_but_not_results(tmp_path, monkeypatch):
     """BFF_SEG2D_BANK_FEATS_CAP=0 must keep multi-class results identical
     while banking no backbone pyramids (the cap bounds device memory on

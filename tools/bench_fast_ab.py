@@ -119,27 +119,46 @@ def main():
         calibrate(seg, cfg, root, size, boxes_target, regime)
 
         if "multi" in modes and n_classes > 1:
-            # ---- multi-class frame-bank mode
+            # ---- multi-class frame-bank mode. With BFF_FAST_KNOB set, each
+            # pass runs the class loop once per knob variant (fresh bank
+            # each) so bank-policy knobs (e.g. BFF_SEG2D_BANK_EMB) A/B
+            # inside one process/compile, interleaved against link drift.
+            knob = os.environ.get("BFF_FAST_KNOB")
+            variants = (os.environ.get("BFF_FAST_VARIANTS", "1,0").split(",")
+                        if knob else [None])
             classes = [f"class{j}" for j in range(n_classes)]
             t0 = time.time()
             seg.process_scene("scene0000_00", "warmup")
             print(f"# warmup {time.time() - t0:.1f}s", flush=True)
-            best = {}
+            best = {v: {} for v in variants}
             for p in range(passes):
-                bank = {}
-                for j, c in enumerate(classes):
-                    t0 = time.time()
-                    recs = seg.process_scene("scene0000_00", c, frame_bank=bank)
-                    dt = time.time() - t0
-                    label = "first" if j == 0 else f"banked{j}"
-                    best[label] = max(best.get(label, 0.0), n_frames / dt)
-                    print(f"  pass{p} {regime} [{label}] {n_frames / dt:.2f} f/s "
-                          f"({len(recs)} frames with boxes)", flush=True)
-            banked = [v for k, v in best.items() if k.startswith("banked")]
-            print(f"{regime}-regime multiclass best-of-{passes}: "
-                  f"first {best['first']:.2f} f/s, banked "
-                  f"{np.mean(banked):.2f} f/s avg (max {max(banked):.2f}) -> "
-                  f"amortization x{np.mean(banked) / best['first']:.2f}", flush=True)
+                for v in variants:
+                    if knob:
+                        os.environ[knob] = v
+                    bank = {}
+                    for j, c in enumerate(classes):
+                        t0 = time.time()
+                        recs = seg.process_scene("scene0000_00", c,
+                                                 frame_bank=bank)
+                        dt = time.time() - t0
+                        label = "first" if j == 0 else f"banked{j}"
+                        best[v][label] = max(best[v].get(label, 0.0),
+                                             n_frames / dt)
+                        tag = f"{knob}={v} " if knob else ""
+                        print(f"  pass{p} {regime} [{tag}{label}] "
+                              f"{n_frames / dt:.2f} f/s "
+                              f"({len(recs)} frames with boxes)", flush=True)
+            if knob:
+                os.environ.pop(knob, None)
+            for v in variants:
+                banked = [x for k, x in best[v].items()
+                          if k.startswith("banked")]
+                tag = f" [{knob}={v}]" if knob else ""
+                print(f"{regime}-regime multiclass{tag} best-of-{passes}: "
+                      f"first {best[v]['first']:.2f} f/s, banked "
+                      f"{np.mean(banked):.2f} f/s avg (max {max(banked):.2f})"
+                      f" -> amortization x{np.mean(banked) / best[v]['first']:.2f}",
+                      flush=True)
 
         if "knob" not in modes:
             continue
