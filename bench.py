@@ -21,7 +21,9 @@ fenced with host fetches (deferred-execution backends can't fake completion).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs: BFF_BENCH_SCALE=small, BFF_BENCH_FRAMES, BFF_BENCH_HIT_RATE,
-BFF_BENCH_BOXES, BFF_BENCH_DEVICES=n (virtual-CPU scaling mode, small scale).
+BFF_BENCH_BOXES, BFF_BENCH_DEVICES=n (virtual-CPU scaling mode, small scale),
+BFF_BENCH_MULTICLASS=0 / BFF_BENCH_MULTI_CLASSES=k (scene-outer multi-class
+banked section), BFF_BENCH_PROJ=0, BFF_BENCH_FAST_PIPELINE=0.
 """
 
 import json
@@ -373,6 +375,57 @@ def fast_pipeline_wall_clock(models, fast_models, small):
     return _measure_pipeline(seg, cfg, n_frames, hit_rate, "fast-pipeline")
 
 
+def multiclass_wall_clock(models, small):
+    """Scene-outer multi-class seg2d (run_classes access pattern) on the
+    headline GDINO+SAM path: class 1 pays JPEG decode + uploads + the
+    text-independent device work, later classes reuse the banked frame
+    buffers, backbone pyramids, and SAM embeddings (segmentation_2d
+    frame_bank). This is the reference's actual 120-class sweep workload
+    (run_evl.py loops classes over scenes and re-reads everything per
+    class). Returns (first_class_fps, banked_class_fps) in the hit regime
+    — the regime where all three banks engage."""
+    from beyondff_tpu.pipeline.segmentation_2d import Segmentor2D
+    from beyondff_tpu.utils import io as bio
+
+    cfg, n_frames = _bench_scene_cfg(small)
+    seg = Segmentor2D(cfg, detector=models["gdino"], sam=models["sam"],
+                      clip_model=models["clip"], clip_tokenizer=models["clip_tok"])
+    boxes_target = cfg.detector.max_detections
+    frame0 = bio.load_image(
+        os.path.join(cfg.paths.scene_2d_dir, "scene0000_00", "color", "0.jpg"),
+        size=(cfg.frames.width_2d, cfg.frames.height_2d))
+    n_classes = int(os.environ.get("BFF_BENCH_MULTI_CLASSES", "4"))
+    classes = [f"class{j}" for j in range(n_classes)]
+    # scores are query-conditioned: calibrate PER CLASS so every class
+    # actually hits (a shared threshold leaves other classes in the miss
+    # regime and the cross-class banks never engage)
+    thr = {}
+    for c in classes:
+        _b, scores, _p = seg.detector.predict(frame0, c, box_threshold=-1.0)
+        scores = np.sort(np.asarray(scores))[::-1]
+        thr[c] = (float(scores[boxes_target - 1]) - 1e-6
+                  if scores.size >= boxes_target else -1.0)
+    seg.cfg = cfg.override(**{"detector.box_threshold": thr[classes[0]]})
+    t0 = time.time()
+    seg.process_scene("scene0000_00", classes[0])
+    log(f"multiclass: warmup pass {time.time() - t0:.1f}s")
+    best = {}
+    for _ in range(int(os.environ.get("BFF_BENCH_PASSES", "4")) // 2 or 1):
+        bank = {}
+        for j, c in enumerate(classes):
+            seg.cfg = cfg.override(**{"detector.box_threshold": thr[c]})
+            t0 = time.time()
+            recs = seg.process_scene("scene0000_00", c, frame_bank=bank)
+            dt = time.time() - t0
+            label = "first" if j == 0 else "banked"
+            best[label] = max(best.get(label, 0.0), n_frames / dt)
+            log(f"multiclass[{'first' if j == 0 else f'banked{j}'}]: "
+                f"{n_frames / dt:.2f} f/s ({len(recs)} frames with boxes)")
+    log(f"multiclass hit-regime best-of: first {best['first']:.2f} f/s, "
+        f"banked {best['banked']:.2f} f/s -> x{best['banked'] / best['first']:.2f}")
+    return best["first"], best["banked"]
+
+
 def projection_bench(small):
     """Stage 2+3 (projection + refinement) scenes/min, end-to-end AND
     device-only, so the host link (~85 MB/s tunnel uploading ~184 MB of
@@ -696,6 +749,12 @@ def main():
         fps_fast_pipeline = _optional(
             "fast_pipeline",
             lambda: fast_pipeline_wall_clock(models, fast_models, small))
+    mc_first = mc_banked = None
+    if os.environ.get("BFF_BENCH_MULTICLASS", "0" if small else "1") != "0":
+        mc = _optional("multiclass_wall_clock",
+                       lambda: multiclass_wall_clock(models, small))
+        if mc is not None:
+            mc_first, mc_banked = mc
     proj_e2e = proj_device = proj_multi = None
     if os.environ.get("BFF_BENCH_PROJ", "0" if small else "1") != "0":
         proj = _optional("projection_bench", lambda: projection_bench(small))
@@ -706,6 +765,8 @@ def main():
         + (f", fast-variant device {fps_fast:.2f} f/s" if fps_fast else "")
         + (f", fast pipeline composite {fps_fast_pipeline:.2f} f/s"
            if fps_fast_pipeline else "")
+        + (f", multiclass hit first/banked {mc_first:.2f}/{mc_banked:.2f} f/s"
+           if mc_banked else "")
         + (f", projection {proj_e2e:.1f} scenes/min e2e / {proj_device:.1f} device-only"
            if proj_e2e else "")
         + (f" / {proj_multi:.1f} per-class multi-class" if proj_multi else ""))
@@ -723,6 +784,10 @@ def main():
                                              if proj_device else None),
         "projection_multiclass_scenes_per_min_per_class": (
             round(proj_multi, 2) if proj_multi else None),
+        "seg2d_multiclass_hit_first_fps": (round(mc_first, 3)
+                                           if mc_first else None),
+        "seg2d_multiclass_hit_banked_fps": (round(mc_banked, 3)
+                                            if mc_banked else None),
         "link_upload_mb_s": link_up,
         "link_download_mb_s": link_down,
         "mfu": mfu_records,

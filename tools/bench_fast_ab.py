@@ -88,19 +88,28 @@ def build_seg(n_frames, boxes_target, dtype_name="bfloat16"):
     return seg, cfg, root, (width, height)
 
 
-def calibrate(seg, cfg, root, size, boxes_target, regime):
+def query_threshold(seg, root, size, boxes_target, query):
+    """Hit-regime box_threshold for ONE query: keep ~boxes_target boxes on
+    frame0 (scores are query-conditioned, so multi-class runs must calibrate
+    per class — one shared threshold leaves other classes in the miss
+    regime, which an early emb-bank A/B measured as a confounder)."""
     from beyondff_tpu.utils import io as bio
 
+    frame0 = bio.load_image(os.path.join(root, "scene0000_00", "color", "0.jpg"),
+                            size=size)
+    _b, scores, _p = seg.detector.predict(frame0, query, box_threshold=-1.0)
+    scores = np.sort(np.asarray(scores))[::-1]
+    return float(scores[boxes_target - 1]) - 1e-6 \
+        if scores.size >= boxes_target else -1.0
+
+
+def calibrate(seg, cfg, root, size, boxes_target, regime, query="clothes"):
     if regime == "miss":
         seg.cfg = cfg.override(**{"detector.box_threshold": 2.0})
         return
-    frame0 = bio.load_image(os.path.join(root, "scene0000_00", "color", "0.jpg"),
-                            size=size)
-    _b, scores, _p = seg.detector.predict(frame0, "clothes", box_threshold=-1.0)
-    scores = np.sort(np.asarray(scores))[::-1]
-    thr = float(scores[boxes_target - 1]) - 1e-6 if scores.size >= boxes_target else -1.0
+    thr = query_threshold(seg, root, size, boxes_target, query)
     seg.cfg = cfg.override(**{"detector.box_threshold": thr})
-    print(f"# calibrated box_threshold={thr:.4f}", flush=True)
+    print(f"# calibrated box_threshold={thr:.4f} ({query})", flush=True)
 
 
 def main():
@@ -127,8 +136,23 @@ def main():
             variants = (os.environ.get("BFF_FAST_VARIANTS", "1,0").split(",")
                         if knob else [None])
             classes = [f"class{j}" for j in range(n_classes)]
+            # per-class hit thresholds: every class must actually HIT for
+            # the banked text-independent work (frames, pyramids, SAM embs)
+            # to be exercised across classes
+            thr_by_class = {}
+            if regime == "hit":
+                for c in classes:
+                    thr_by_class[c] = query_threshold(
+                        seg, root, size, boxes_target, c)
+                print("# per-class thresholds: "
+                      + ", ".join(f"{c}={thr_by_class[c]:.4f}"
+                                  for c in classes), flush=True)
+            if classes[0] in thr_by_class:
+                # warm the HIT-path programs (encode/decode shapes)
+                seg.cfg = cfg.override(
+                    **{"detector.box_threshold": thr_by_class[classes[0]]})
             t0 = time.time()
-            seg.process_scene("scene0000_00", "warmup")
+            seg.process_scene("scene0000_00", classes[0])
             print(f"# warmup {time.time() - t0:.1f}s", flush=True)
             best = {v: {} for v in variants}
             for p in range(passes):
@@ -137,6 +161,9 @@ def main():
                         os.environ[knob] = v
                     bank = {}
                     for j, c in enumerate(classes):
+                        if c in thr_by_class:
+                            seg.cfg = cfg.override(
+                                **{"detector.box_threshold": thr_by_class[c]})
                         t0 = time.time()
                         recs = seg.process_scene("scene0000_00", c,
                                                  frame_bank=bank)
