@@ -342,13 +342,23 @@ def lift_scene_streamed(
 
 
 def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str] = None,
-                  prof=None, depth_bank: Optional[Dict] = None) -> Dict:
+                  prof=None, depth_bank: Optional[Dict] = None,
+                  view_bank: Optional[Dict] = None) -> Dict:
     """Run the full projection stage for one (class, scene); writes the output.
 
     ``depth_bank``: optional {frame_id: raw uint16 depth DEVICE buffer} shared
     across classes of the same scene (see :func:`run_classes`) — the scene's
     ~184 MB of depth then crosses the host->device link once per SCENE instead
-    of once per (class, scene). Filled lazily by the first class's prefetch."""
+    of once per (class, scene). Filled lazily by the first class's prefetch.
+
+    ``view_bank``: optional {frozenset(frame_ids): viewed_counts} shared across
+    classes of the same scene. ``viewed_counts`` is a pure function of scene
+    geometry (pcd, poses, depths) over the frame listing — it does not depend
+    on the query — yet the reference recomputes the full visibility pass per
+    (class, scene) (projection_2d_to_3d.py:524-578). Banking it makes every
+    class after the first skip the view chunks entirely (the majority of the
+    stage's device time: ~1.1 s of 1.63 s on the full-scale fixture), lifting
+    only the frames that actually carry detections."""
     from beyondff_tpu.utils.profiling import StageProfiler
 
     prof = prof or StageProfiler("projection")
@@ -387,6 +397,19 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
     # mode the non-detection frames (and their depth decode/upload) are skipped
     need_viewed = (cfg.filtering.use_detected_ratio_threshold
                    and not cfg.filtering.use_occurrence_threshold)
+
+    # the viewed total is order-independent (per-frame int counts summed), so
+    # the bank keys on the frame SET; a class whose 2D outputs carry extra
+    # out-of-listing frames (the missing-union above) gets its own entry
+    view_key = frozenset(frame_ids)
+    banked_viewed = None
+    if need_viewed and view_bank is not None:
+        banked_viewed = view_bank.get(view_key)
+    lift_need_viewed = need_viewed and banked_viewed is None
+    # without a viewed pass, frames with no detection record never reach the
+    # device — skip their host-side pose/depth loading too
+    lift_ids = (frame_ids if lift_need_viewed
+                else [fid for fid in frame_ids if fid in by_frame])
 
     dec = max(1, int(cfg.frames.depth_decimation))
     cache_dir = None
@@ -433,7 +456,7 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
     def load_frame(fid: str) -> Dict:
         f: Dict = {"frame_id": fid, "pose": reader.pose(fid)}
         rec = by_frame.get(fid)
-        if need_viewed or rec is not None:
+        if lift_need_viewed or rec is not None:
             if device_resize:
                 dev = depth_bank.get(fid) if depth_bank is not None else None
                 if dev is None:
@@ -457,7 +480,7 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
             f["labels"] = list(rec["labels"])
         return f
 
-    with prof.span("lift", frames=len(frame_ids)):
+    with prof.span("lift", frames=len(lift_ids)):
         # frames stream through a background loader thread (utils/prefetch)
         # while the device lifts the previous chunk; membership stays ON
         # DEVICE through aggregation (a full scene's per-view masks are
@@ -465,14 +488,18 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
         # chip)
         from beyondff_tpu.utils.prefetch import prefetch_map
 
-        frames_iter = prefetch_map(load_frame, frame_ids,
+        frames_iter = prefetch_map(load_frame, lift_ids,
                                    depth=max(1, cfg.parallel.prefetch_depth) * FRAME_CHUNK)
         chunks, confs, labels, masked_counts, viewed_counts = lift_scene_streamed(
             pcd, cam_intr, frames_iter, set(by_frame), cfg.frames.depth_thresh,
             target_hw=(cfg.frames.height_2d, cfg.frames.width_2d),
-            depth_scale=cfg.frames.depth_scale, need_viewed=need_viewed,
+            depth_scale=cfg.frames.depth_scale, need_viewed=lift_need_viewed,
             device_membership=True,
         )
+        if banked_viewed is not None:
+            viewed_counts = banked_viewed
+        elif lift_need_viewed and view_bank is not None:
+            view_bank[view_key] = viewed_counts
 
     out_path = os.path.join(p.mask_3d_dir, class_name, f"{scene_id}.{ext}")
     n_lifted = len(labels)
@@ -524,7 +551,10 @@ def run_classes(cfg: Config, class_names: Sequence[str],
                 resume: bool = True) -> Dict[str, List[Dict]]:
     """Multi-class projection with SCENE-OUTER ordering: each scene's depth
     uploads to the device once and is shared by every class's lift via a
-    per-scene ``depth_bank``.
+    per-scene ``depth_bank``; the query-independent per-point visibility
+    totals are likewise computed once per scene and shared via a
+    ``view_bank`` (``BFF_PROJ_BANK_VIEWED=0`` disables), so classes after the
+    first lift only their detection frames.
 
     The reference sweep loops classes outer (run_evl.py:103-118), so a
     142-scene x ~120-class sweep re-reads and re-ships ~184 MB of depth per
@@ -533,6 +563,7 @@ def run_classes(cfg: Config, class_names: Sequence[str],
     makes the sweep's projection stage device-bound instead of link-bound.
     Per-(class, scene) checkpoints are identical to :func:`run`, so the two
     drivers can resume each other's partial sweeps."""
+    bank_viewed = os.environ.get("BFF_PROJ_BANK_VIEWED", "1") == "1"
     per_class_scenes: Dict[str, set] = {}
     for c in class_names:
         seg_dir = os.path.join(cfg.paths.mask_2d_dir, c)
@@ -560,9 +591,11 @@ def run_classes(cfg: Config, class_names: Sequence[str],
         if not todo:
             continue
         depth_bank: Dict = {}  # lives for this scene only (~184 MB on device)
+        view_bank: Optional[Dict] = {} if bank_viewed else None
         for c in todo:
             results[c].append(project_scene(cfg, c, scene_id, prof=prof,
-                                            depth_bank=depth_bank))
+                                            depth_bank=depth_bank,
+                                            view_bank=view_bank))
             ckpts[c].mark(scene_id)
     if any(results.values()):
         print(prof.report())

@@ -249,12 +249,13 @@ def test_full_chain_seg2d_to_eval(tmp_path):
     assert np.isfinite(ap) or np.isnan(ap)  # random boxes: any valid AP value
 
 
-def test_run_classes_matches_per_class(tmp_path):
+def test_run_classes_matches_per_class(tmp_path, monkeypatch):
     """Scene-outer multi-class projection (projection.run_classes: each
     scene's depth uploads once into a shared bank and serves every class)
     must write identical stage outputs to per-class projection.run, and its
     per-(class, scene) checkpoints must resume exactly like the per-class
-    driver's."""
+    driver's. The query-independent viewed_counts must be computed by the
+    FIRST class only (view_bank) without changing any output."""
     import shutil
 
     import make_synthetic_scene
@@ -265,14 +266,28 @@ def test_run_classes_matches_per_class(tmp_path):
     shutil.copytree(os.path.join(cfg.paths.mask_2d_dir, "clothes"),
                     os.path.join(cfg.paths.mask_2d_dir, "towel"))
 
+    need_viewed_calls = []
+    orig_lift = projection.lift_scene_streamed
+
+    def spy_lift(*args, **kwargs):
+        need_viewed_calls.append(kwargs.get("need_viewed", True))
+        return orig_lift(*args, **kwargs)
+
+    monkeypatch.setattr(projection, "lift_scene_streamed", spy_lift)
+
     ref = {}
     for c in ("clothes", "towel"):
         projection.run(cfg, c, resume=False)
         ref[c] = bio.load_stage_dict(
             os.path.join(cfg.paths.mask_3d_dir, c, "scene0000_00.pth"))
+    assert need_viewed_calls == [True, True]  # per-class driver: no banking
 
     shutil.rmtree(cfg.paths.mask_3d_dir)
+    need_viewed_calls.clear()
     results = projection.run_classes(cfg, ["clothes", "towel"], resume=False)
+    # first class computes the scene's visibility totals, the second reuses
+    # them and lifts only its detection frames
+    assert need_viewed_calls == [True, False]
     assert len(results["clothes"]) == len(results["towel"]) == 1
     for c in ("clothes", "towel"):
         out = bio.load_stage_dict(
@@ -287,3 +302,15 @@ def test_run_classes_matches_per_class(tmp_path):
     # skips all work, same contract as projection.run
     again = projection.run_classes(cfg, ["clothes", "towel"], resume=True)
     assert again == {"clothes": [], "towel": []}
+
+    # BFF_PROJ_BANK_VIEWED=0 disables the viewed bank without changing results
+    shutil.rmtree(cfg.paths.mask_3d_dir)
+    need_viewed_calls.clear()
+    monkeypatch.setenv("BFF_PROJ_BANK_VIEWED", "0")
+    projection.run_classes(cfg, ["clothes", "towel"], resume=False)
+    assert need_viewed_calls == [True, True]
+    for c in ("clothes", "towel"):
+        out = bio.load_stage_dict(
+            os.path.join(cfg.paths.mask_3d_dir, c, "scene0000_00.pth"))
+        np.testing.assert_array_equal(np.asarray(out["ins"]),
+                                      np.asarray(ref[c]["ins"]))
