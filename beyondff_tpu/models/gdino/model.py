@@ -646,6 +646,81 @@ class GroundingDINO:
         return self._dispatch(frames_dev, caption, frames=True,
                               feats_cache=feats_cache)
 
+    def caption_spans(self, classes):
+        """Fused multi-phrase caption + per-class token spans.
+
+        GroundingDINO's NATIVE protocol is multi-phrase: category phrases
+        joined with ' . ' share one forward, and the text pathway already
+        isolates each phrase — subsentence self-attention masks + per-phrase
+        position-id restarts (bert.subsentence_masks), so a class's text
+        features match its single-class caption up to the shared image
+        pathway. The reference runs one class per sweep pass
+        (run_evl.py:103-118), paying a full detector forward per
+        (class, frame); a fused caption serves every class in the group from
+        ONE forward and the per-class results demux by token span
+        (:meth:`predict_finalize_demux`).
+
+        Returns ``(caption, spans)`` where ``spans[i] = (start, end)`` is the
+        half-open token range of ``classes[i]`` (separators excluded)."""
+        caption = self.preprocess_caption(
+            " . ".join(c.lower().strip().strip(".").strip() for c in classes))
+        enc = self.tokenizer([caption])
+        ids = np.asarray(enc["input_ids"][0][: self.cfg.max_text_len]).tolist()
+        seps = set(self._special_ids())
+        cls_id, sep_id = self._cls_id(), self._sep_id()
+        spans, start = [], None
+        for i, t in enumerate(ids):
+            if t == cls_id:
+                continue
+            if t in seps or t == sep_id or t == 0:
+                if start is not None:
+                    spans.append((start, i))
+                    start = None
+                if t == sep_id or t == 0:
+                    break
+            elif start is None:
+                start = i
+        if start is not None:
+            spans.append((start, len(ids)))
+        if len(spans) != len(classes):
+            raise ValueError(
+                f"fused caption tokenized into {len(spans)} spans for "
+                f"{len(classes)} classes (max_text_len={self.cfg.max_text_len}"
+                " — shrink the caption group)")
+        return caption, spans
+
+    def predict_finalize_demux(self, handle, spans,
+                               box_threshold: float = 0.35,
+                               text_threshold: float = 0.25):
+        """Host half of a FUSED multi-class detection: the same single packed
+        download as :meth:`predict_finalize`, demuxed per class by caption
+        token span. A box's per-class score is the max sigmoid logit over
+        that class's tokens — with one span covering the whole caption this
+        reproduces the classic finalize exactly (the in-model score is the
+        max over all caption tokens; pinned in tests/test_gdino.py), and a
+        box may pass several classes' thresholds (each class's CLIP filter
+        arbitrates downstream, like the reference's per-class passes).
+
+        Returns, per frame, a list over classes of (boxes, scores, phrases)."""
+        packed_d, ids, b = handle
+        packed = np.asarray(packed_d, np.float32)  # (B, K, 1+4+T)
+        top_boxes = packed[..., 1:5]
+        top_probs = packed[..., 5:]
+        out = []
+        for i in range(b):
+            per_class = []
+            for (s, e) in spans:
+                sc = top_probs[i][:, s:e].max(axis=1)
+                keep = sc > box_threshold
+                phrases = []
+                for p in top_probs[i][keep]:
+                    pos = np.zeros(p.shape, bool)
+                    pos[s:e] = p[s:e] > text_threshold
+                    phrases.append(self._phrase_from_posmap(pos, ids[0]))
+                per_class.append((top_boxes[i][keep], sc[keep], phrases))
+            out.append(per_class)
+        return out
+
     def predict_finalize(self, handle, box_threshold: float = 0.35,
                          text_threshold: float = 0.25):
         """Host half of an async detection: ONE packed download + threshold

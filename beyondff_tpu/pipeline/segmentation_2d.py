@@ -443,7 +443,9 @@ class Segmentor2D:
 
     # ------------------------------------------------------------ per scene
     def process_scene(self, scene_id: str, query: str,
-                      frame_bank: Optional[Dict] = None) -> List[Dict]:
+                      frame_bank: Optional[Dict] = None,
+                      demux: Optional[tuple] = None,
+                      detections_override: Optional[Dict] = None) -> List[Dict]:
         """All frames of a scene, batched ``detector.frame_batch`` at a time
         through the detector and SAM encoder, with prefetched image loading.
 
@@ -460,7 +462,18 @@ class Segmentor2D:
         embeddings are stored under ("img"|"det"|"sam"|"det_feats"|
         "sam_emb", ...) keys, so a multi-class sweep pays each scene's JPEG
         decode, host->device frame traffic, and text-independent encoder
-        work once instead of once per class."""
+        work once instead of once per class.
+
+        Fused-caption sweep hooks (see :func:`run_classes`):
+        ``demux=(classes, spans, out)`` runs a DETECTION-ONLY pass with
+        ``query`` as the fused multi-phrase caption: per-class detections
+        demux by token span into ``out[(class, frame_id)]`` (plus eager
+        SAM-embedding banking for hit frames) and no records are emitted.
+        ``detections_override={frame_id: (boxes, scores, phrases)}`` skips
+        the detector entirely and feeds the recorded detections through the
+        unchanged CLIP-filter -> SAM decode pipeline; frames absent from the
+        table are skipped outright (a frame with no boxes emits no record
+        either way)."""
         p = self.cfg.paths
         d = self.cfg.detector
         size = (self.cfg.frames.width_2d, self.cfg.frames.height_2d)
@@ -470,6 +483,18 @@ class Segmentor2D:
         device_frames = (d.device_frames
                          and hasattr(self.detector, "predict_batch_frames_async")
                          and hasattr(self.sam, "encode_frames"))
+        if demux is not None or detections_override is not None:
+            if not device_frames:
+                raise ValueError("fused-caption passes require the "
+                                 "device-frames detector path")
+            if demux is not None and not hasattr(self.detector,
+                                                 "predict_finalize_demux"):
+                raise ValueError("detector does not support caption demux")
+        if detections_override is not None:
+            # only frames the fused pass detected can emit records
+            frame_ids = [f for f in frame_ids if f in detections_override]
+            if not frame_ids:
+                return []
 
         # Two-tier upload: when the detector's input is SMALLER than the
         # SAM-scaled frame (YOLO-World's 640x640 vs the 1024-long-side SAM
@@ -638,6 +663,12 @@ class Segmentor2D:
                 input_hw = buf[0][2]
                 devs = [b[3] for b in buf]
                 frames_dev = None
+            if detections_override is not None:
+                # fused-caption class pass: this batch's detections were
+                # recorded by the demux pass — no detector work at all
+                pending.append((fids, smalls, input_hw, devs, None))
+                buf.clear()
+                return
             with _span("det_dispatch"):
                 if frames_dev is None:
                     frames_dev = _stack_jit(len(devs))(*devs)
@@ -722,12 +753,52 @@ class Segmentor2D:
         bq: List = []  # awaiting CLIP sims -> decode dispatch
         cq: List = []  # awaiting packed-mask download -> emit
 
+        def demux_stage(fids, devs, handle):
+            """Fused-caption detection batch: demux the one packed download
+            per class into the output table, and bank hit frames' SAM
+            embeddings NOW (the per-class override passes reuse them — the
+            encode is text-independent, so one per scene serves the group)."""
+            classes_d, spans, out_tab = demux
+            with _span("det_finalize"):
+                per_frame = self.detector.predict_finalize_demux(
+                    handle, spans, box_threshold=d.box_threshold,
+                    text_threshold=d.text_threshold)
+            hit_idx = []
+            for i, per_class in enumerate(per_frame):
+                hit = False
+                for c, det in zip(classes_d, per_class):
+                    if det[0].shape[0]:
+                        out_tab[(c, fids[i])] = det
+                        hit = True
+                if hit:
+                    hit_idx.append(i)
+            if not hit_idx or not bank_emb or two_tier:
+                # two-tier buffers are detector-scale — the override pass
+                # pays the lazy SAM-scale upload + encode instead
+                return
+            if batch_upload:
+                def enc_input(indices):
+                    if len(indices) == devs.shape[0]:
+                        return devs
+                    return _take_jit()(devs, np.asarray(indices, np.int32))
+            else:
+                def enc_input(indices):
+                    return _stack_jit(len(indices))(*[devs[i] for i in indices])
+            with _span("sam_encode_dispatch"):
+                encode_banked(fids, hit_idx, enc_input)
+
         def stage_a():
             fids, smalls, input_hw, devs, handle = pending.pop(0)
+            if demux is not None:
+                demux_stage(fids, devs, handle)
+                return
             with _span("det_finalize"):
-                raw = self.detector.predict_finalize(
-                    handle, box_threshold=d.box_threshold,
-                    text_threshold=d.text_threshold)
+                if handle is None:
+                    raw = [detections_override[fid] for fid in fids]
+                else:
+                    raw = self.detector.predict_finalize(
+                        handle, box_threshold=d.box_threshold,
+                        text_threshold=d.text_threshold)
             with _span("phrase_filter"):
                 pre = [self._phrase_filter(im, query, det, frame_hw)
                        for im, det in zip(smalls, raw)]
@@ -998,6 +1069,30 @@ def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None,
     return results
 
 
+def _fused_groups(detector, classes: Sequence[str], group_size: int):
+    """Split ``classes`` into fused-caption groups: greedy ``group_size``
+    chunks, bisected when a chunk overflows the detector's text budget
+    (``caption_spans`` raises on span/class mismatch). Returns
+    ``[(group_classes, caption, spans), ...]`` preserving class order."""
+    out = []
+
+    def fit(group):
+        try:
+            caption, spans = detector.caption_spans(group)
+        except ValueError:
+            if len(group) == 1:
+                raise
+            mid = len(group) // 2
+            fit(group[:mid])
+            fit(group[mid:])
+            return
+        out.append((group, caption, spans))
+
+    for i in range(0, len(classes), max(1, group_size)):
+        fit(list(classes[i:i + group_size]))
+    return out
+
+
 def run_classes(cfg: Config, class_names: Sequence[str],
                 scenes: Optional[Sequence[str]] = None, resume: bool = True,
                 segmentor: Optional[Segmentor2D] = None) -> Dict[str, List[Dict]]:
@@ -1014,7 +1109,16 @@ def run_classes(cfg: Config, class_names: Sequence[str],
     (both detectors' backbone()/detect() split) and SAM encoder embeddings
     for hit frames — later classes re-run only the text-conditioned
     detection half and the box decode. Checkpoints stay per-(class, scene),
-    interchangeable with :func:`run`."""
+    interchangeable with :func:`run`.
+
+    ``detector.fused_captions`` (BFF_SEG2D_FUSED=1/0 overrides; GDINO only):
+    instead of one text-conditioned detection pass per class, each scene runs
+    ONE fused multi-phrase detection pass per ``fused_group`` classes
+    (" . "-joined caption, the detector's native protocol) and per-class
+    results demux by caption token span; each class then replays only the
+    CLIP-filter -> SAM-decode half over its detected frames. Detections are
+    protocol-adjacent, not byte-identical, to per-class captions (shared
+    image pathway + top-K), so the mode is opt-in."""
     p = cfg.paths
     if scenes is None:
         scenes = sorted(
@@ -1026,6 +1130,14 @@ def run_classes(cfg: Config, class_names: Sequence[str],
 
     prof = StageProfiler("segmentation_2d")
     seg = segmentor or Segmentor2D(cfg)
+    env = os.environ.get("BFF_SEG2D_FUSED")
+    fused = (cfg.detector.fused_captions if env is None else env == "1") \
+        and len(class_names) > 1 \
+        and cfg.detector.device_frames \
+        and hasattr(seg.detector, "caption_spans") \
+        and hasattr(seg.detector, "predict_finalize_demux") \
+        and hasattr(seg.detector, "predict_batch_frames_async") \
+        and hasattr(seg.sam, "encode_frames")
     ckpts = {c: SceneCheckpoint(p.checkpoint_dir, "segmentation_2d", c)
              for c in class_names}
     results: Dict[str, List[Dict]] = {c: [] for c in class_names}
@@ -1037,9 +1149,8 @@ def run_classes(cfg: Config, class_names: Sequence[str],
         frame_bank: Dict = {}  # lives for this scene only
         frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id,
                                           cfg.frames.downsample_ratio)
-        for c in todo:
-            with prof.span("scene", frames=len(frame_ids)):
-                records = seg.process_scene(scene_id, c, frame_bank=frame_bank)
+
+        def finish(c, records):
             rle.encode_frame_masks(records)
             out = os.path.join(p.mask_2d_dir, c,
                                f"{scene_id}.{cfg.output_format}")
@@ -1047,6 +1158,28 @@ def run_classes(cfg: Config, class_names: Sequence[str],
             ckpts[c].mark(scene_id)
             results[c].append({"scene_id": scene_id,
                                "frames_with_boxes": len(records)})
+
+        if fused and len(todo) > 1:
+            for group, caption, spans in _fused_groups(
+                    seg.detector, todo, cfg.detector.fused_group):
+                dets: Dict = {}
+                with prof.span("fused_detect", frames=len(frame_ids)):
+                    seg.process_scene(scene_id, caption,
+                                      frame_bank=frame_bank,
+                                      demux=(group, spans, dets))
+                for c in group:
+                    table = {fid: det for (cc, fid), det in dets.items()
+                             if cc == c}
+                    with prof.span("scene", frames=len(frame_ids)):
+                        records = seg.process_scene(
+                            scene_id, c, frame_bank=frame_bank,
+                            detections_override=table)
+                    finish(c, records)
+            continue
+        for c in todo:
+            with prof.span("scene", frames=len(frame_ids)):
+                records = seg.process_scene(scene_id, c, frame_bank=frame_bank)
+            finish(c, records)
     if any(results.values()):
         print(prof.report())
     return results

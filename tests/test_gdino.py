@@ -230,3 +230,64 @@ def test_async_feats_cache_matches_uncached(rng):
         assert gp == rp
         np.testing.assert_array_equal(gb, hb)
         np.testing.assert_array_equal(gs, hs)
+
+
+def test_caption_spans(tiny_gdino):
+    """Fused multi-phrase caption: spans isolate each class's tokens,
+    excluding [CLS]/[SEP]/'.' separators (fused multi-class sweep)."""
+    caption, spans = tiny_gdino.caption_spans(["red chair", "towel", "tv"])
+    assert caption == "red chair . towel . tv."
+    assert len(spans) == 3
+    enc = tiny_gdino.tokenizer([caption])
+    ids = np.asarray(enc["input_ids"][0])
+    seps = {tiny_gdino._cls_id(), tiny_gdino._sep_id(),
+            *tiny_gdino._special_ids()}
+    # spans are disjoint, ordered, and cover exactly the non-separator tokens
+    covered = []
+    for s, e in spans:
+        assert e > s
+        assert not any(int(t) in seps for t in ids[s:e])
+        covered.extend(range(s, e))
+    assert covered == sorted(covered)
+    uncovered = [i for i in range(len(ids)) if i not in covered]
+    assert all(int(ids[i]) in seps for i in uncovered)
+    # multi-word phrase spans both its tokens
+    assert spans[0][1] - spans[0][0] == 2
+
+
+def test_demux_whole_span_matches_finalize(tiny_gdino):
+    """predict_finalize_demux with ONE span covering every caption token is
+    exactly predict_finalize: the in-model packed score is the max sigmoid
+    over all (non-pad) caption tokens, which the span max reproduces."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+    handle = tiny_gdino._dispatch([img], "clothes", frames=False)
+    t = np.asarray(handle[1]).shape[1]
+    ref = tiny_gdino.predict_finalize(handle, box_threshold=0.2,
+                                      text_threshold=0.25)
+    demux = tiny_gdino.predict_finalize_demux(handle, [(0, t)],
+                                              box_threshold=0.2,
+                                              text_threshold=0.25)
+    assert len(demux) == len(ref) == 1
+    (rb, rs, rp), (db, ds, dp) = ref[0], demux[0][0]
+    np.testing.assert_array_equal(db, rb)
+    np.testing.assert_array_equal(ds, rs)
+    assert dp == rp
+
+
+def test_demux_span_scores_are_span_maxima(tiny_gdino):
+    """Per-class demux scores equal the max packed sigmoid over that class's
+    token span, and each class's keep-set thresholds independently."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+    caption, spans = tiny_gdino.caption_spans(["chair", "towel"])
+    handle = tiny_gdino._dispatch([img], caption, frames=False)
+    packed = np.asarray(handle[0], np.float32)
+    probs = packed[0, :, 5:]
+    out = tiny_gdino.predict_finalize_demux(handle, spans, box_threshold=0.3,
+                                            text_threshold=0.25)
+    for (s, e), (boxes, scores, phrases) in zip(spans, out[0]):
+        want = probs[:, s:e].max(axis=1)
+        keep = want > 0.3
+        np.testing.assert_allclose(scores, want[keep], rtol=1e-6)
+        assert boxes.shape[0] == int(keep.sum()) == len(phrases)

@@ -589,3 +589,145 @@ def test_feats_bank_cap_gates_banking_but_not_results(tmp_path, monkeypatch):
                                       b["segmented_frame_masks"])
         np.testing.assert_allclose(a["confidences"], b["confidences"],
                                    rtol=1e-6)
+
+
+def test_detections_override_matches_normal(tmp_path, monkeypatch):
+    """The fused-caption building blocks compose to the classic result: a
+    demux pass whose single span covers the WHOLE caption records exactly
+    the detections predict_finalize would keep, and replaying them through
+    detections_override (no detector) emits byte-identical records."""
+    import cv2
+
+    rng = np.random.default_rng(41)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(5):
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    cfg = Config.from_dict({
+        "paths": {"scene_2d_dir": str(tmp_path)},
+        "frames": {"width_2d": 64, "height_2d": 64, "downsample_ratio": 1},
+        "detector": {"box_threshold": 0.0, "must_match_query": False,
+                     "similarity_threshold": -10.0, "max_detections": 4,
+                     "dtype": "float32", "frame_batch": 2,
+                     "filter_with_clip": True},
+    })
+    seg = Segmentor2D(cfg)
+    normal = seg.process_scene("scene0000_00", "clothes", frame_bank={})
+    assert len(normal) > 0
+
+    # demux with one whole-caption span == classic finalize (pinned in
+    # tests/test_gdino.py); the caption IS the classic query here
+    enc = seg.detector.tokenizer([seg.detector.preprocess_caption("clothes")])
+    t = np.asarray(enc["input_ids"]).shape[1]
+    bank: dict = {}
+    dets: dict = {}
+    out = seg.process_scene("scene0000_00", "clothes", frame_bank=bank,
+                            demux=(["clothes"], [(0, t)], dets))
+    assert out == []  # detection-only pass emits no records
+    assert dets, "demux recorded detections"
+    assert any(k[0] == "sam_emb" for k in bank), "hit frames banked eagerly"
+
+    calls = []
+    orig = seg.detector.predict_batch_frames_async
+    monkeypatch.setattr(seg.detector, "predict_batch_frames_async",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    table = {fid: det for (_c, fid), det in dets.items()}
+    replay = seg.process_scene("scene0000_00", "clothes", frame_bank=bank,
+                               detections_override=table)
+    assert calls == [], "override pass must not run the detector"
+    assert len(replay) == len(normal)
+    for a, b in zip(normal, replay):
+        assert a["frame_id"] == b["frame_id"]
+        assert a["labels"] == b["labels"]
+        np.testing.assert_array_equal(a["segmented_frame_masks"],
+                                      b["segmented_frame_masks"])
+        np.testing.assert_allclose(a["confidences"], b["confidences"],
+                                   rtol=1e-6)
+
+
+def test_run_classes_fused_matches_manual_demux(tmp_path, monkeypatch):
+    """Fused-caption run_classes (detector.fused_captions): one multi-phrase
+    detection pass per scene serves every class in the group; per-class
+    stage files must equal a hand-driven demux + detections_override
+    pipeline, checkpoints resume, and classes the fused pass never detects
+    still write (empty) stage files."""
+    import os
+
+    import cv2
+
+    from beyondff_tpu.core import rle as rle_mod
+    from beyondff_tpu.pipeline import segmentation_2d as s2d
+    from beyondff_tpu.utils import io as bio
+
+    rng = np.random.default_rng(43)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(5):
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    s1_dir = tmp_path / "stage1"
+    s1_dir.mkdir()
+    (s1_dir / "scene0000_00.npz").write_bytes(b"")
+    base = {
+        "paths": {"scene_2d_dir": str(tmp_path),
+                  "mask_2d_dir": str(tmp_path / "mask_2d"),
+                  "stage_1_results_dir": str(s1_dir),
+                  "checkpoint_dir": str(tmp_path / "ckpt_a")},
+        "frames": {"width_2d": 64, "height_2d": 64, "downsample_ratio": 1},
+        "detector": {"box_threshold": 0.2, "must_match_query": False,
+                     "similarity_threshold": -10.0, "max_detections": 4,
+                     "dtype": "float32", "frame_batch": 2,
+                     "filter_with_clip": True, "fused_captions": True,
+                     "fused_group": 16},
+    }
+    cfg = Config.from_dict(base)
+    seg = Segmentor2D(cfg)
+    classes = ["clothes", "towel"]
+
+    # hand-driven fused pipeline = expected stage outputs
+    groups = s2d._fused_groups(seg.detector, classes, 16)
+    assert len(groups) == 1 and groups[0][0] == classes
+    _g, caption, spans = groups[0]
+    dets: dict = {}
+    bank: dict = {}
+    seg.process_scene("scene0000_00", caption, frame_bank=bank,
+                      demux=(classes, spans, dets))
+    expect = {}
+    for c in classes:
+        table = {fid: det for (cc, fid), det in dets.items() if cc == c}
+        recs = seg.process_scene("scene0000_00", c, frame_bank=bank,
+                                 detections_override=table)
+        rle_mod.encode_frame_masks(recs)
+        expect[c] = recs
+
+    got = s2d.run_classes(cfg, classes, resume=False, segmentor=seg)
+    assert set(got) == set(classes)
+    for c in classes:
+        path = os.path.join(cfg.paths.mask_2d_dir, c,
+                            f"scene0000_00.{cfg.output_format}")
+        assert os.path.exists(path)
+        recs = bio.load_frame_records(path)
+        assert len(recs) == len(expect[c])
+        for a, b in zip(expect[c], recs):
+            assert a["frame_id"] == b["frame_id"]
+            assert list(a["labels"]) == list(b["labels"])
+            np.testing.assert_array_equal(
+                rle_mod.rle_decode_batch(a["segmented_frame_masks"]),
+                rle_mod.rle_decode_batch(b["segmented_frame_masks"]))
+            np.testing.assert_allclose(a["confidences"], b["confidences"],
+                                       rtol=1e-6)
+
+    # resume: everything checkpointed -> no work
+    again = s2d.run_classes(cfg, classes, resume=True, segmentor=seg)
+    assert again == {c: [] for c in classes}
+
+    # env kill-switch: BFF_SEG2D_FUSED=0 falls back to the per-class path
+    monkeypatch.setenv("BFF_SEG2D_FUSED", "0")
+    cfg2 = cfg.override(**{"paths.checkpoint_dir": str(tmp_path / "ckpt_b")})
+    calls = []
+    orig = seg.detector.predict_finalize_demux
+    monkeypatch.setattr(seg.detector, "predict_finalize_demux",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    s2d.run_classes(cfg2, classes, resume=False, segmentor=seg)
+    assert calls == [], "BFF_SEG2D_FUSED=0 must not demux"
