@@ -86,13 +86,14 @@ class DetectorConfig:
     # e.g. detect by description but keep boxes phrased as the class name)
     must_match_query: bool = True
     must_match_class: str = ""
-    # fused multi-class captions (GDINO only; multi-class sweeps): detect all
-    # classes of a group in ONE forward per frame ("cls1 . cls2 . ...", the
-    # detector's native multi-phrase protocol) and demux per class by caption
-    # token span. Up to fused_group-x fewer detector forwards per sweep;
-    # detections are protocol-adjacent, not byte-identical, to per-class
-    # captions (the image pathway fuses against the whole caption), so the
-    # mode is opt-in. BFF_SEG2D_FUSED=1/0 overrides.
+    # fused multi-class captions (multi-class sweeps): detect all classes of
+    # a group in ONE forward per frame ("cls1 . cls2 . ...", both detectors'
+    # native multi-phrase protocol) and demux per class — GDINO by caption
+    # token span, YOLO-World by argmax class assignment. Up to fused_group-x
+    # fewer detector forwards per sweep; detections are protocol-adjacent,
+    # not byte-identical, to per-class captions (the image pathway fuses
+    # against the whole class set), so the mode is opt-in.
+    # BFF_SEG2D_FUSED=1/0 overrides.
     fused_captions: bool = False
     fused_group: int = 16  # classes per fused caption (token budget also caps)
     # fixed-shape padding: max detections per frame kept on device

@@ -701,17 +701,25 @@ class GroundingDINO:
         box may pass several classes' thresholds (each class's CLIP filter
         arbitrates downstream, like the reference's per-class passes).
 
+        ``box_threshold`` may be a scalar or a per-span sequence (classes
+        calibrated to different operating points keep their own cutoffs).
+
         Returns, per frame, a list over classes of (boxes, scores, phrases)."""
         packed_d, ids, b = handle
         packed = np.asarray(packed_d, np.float32)  # (B, K, 1+4+T)
         top_boxes = packed[..., 1:5]
         top_probs = packed[..., 5:]
+        thresholds = (list(box_threshold) if np.ndim(box_threshold)
+                      else [box_threshold] * len(spans))
+        if len(thresholds) != len(spans):
+            raise ValueError(f"{len(thresholds)} box thresholds for "
+                             f"{len(spans)} spans")
         out = []
         for i in range(b):
             per_class = []
-            for (s, e) in spans:
+            for (s, e), thr in zip(spans, thresholds):
                 sc = top_probs[i][:, s:e].max(axis=1)
-                keep = sc > box_threshold
+                keep = sc > thr
                 phrases = []
                 for p in top_probs[i][keep]:
                     pos = np.zeros(p.shape, bool)

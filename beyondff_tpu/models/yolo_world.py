@@ -500,6 +500,22 @@ class YOLOWorld:
         packed = self._head_topk(self.params, feats, jnp.asarray(txt), nms_iou)
         return packed, classes
 
+    def _row_dets(self, row, sel, classes):
+        """Packed (K, 6) row + keep mask -> (normalized cxcywh, scores,
+        phrases), the same math as :meth:`predict`."""
+        hh, ww = self.cfg.img_size
+        scores = row[sel, 0]
+        boxes = row[sel, 1:5].copy()
+        cls_id = row[sel, 5].astype(np.int64)
+        boxes[:, [0, 2]] /= ww
+        boxes[:, [1, 3]] /= hh
+        cx = (boxes[:, 0] + boxes[:, 2]) / 2
+        cy = (boxes[:, 1] + boxes[:, 3]) / 2
+        bw = boxes[:, 2] - boxes[:, 0]
+        bh = boxes[:, 3] - boxes[:, 1]
+        cxcywh = np.clip(np.stack([cx, cy, bw, bh], 1), 0, 1)
+        return cxcywh, scores, [classes[i] for i in cls_id]
+
     def predict_finalize(self, handle, box_threshold: float = 0.02,
                          text_threshold: float = 0.0):
         """Host half of an async detection: one packed download + threshold.
@@ -508,21 +524,44 @@ class YOLOWorld:
         fail any threshold)."""
         packed_d, classes = handle
         packed = np.asarray(packed_d, np.float32)  # (B, K, 6)
-        hh, ww = self.cfg.img_size
+        return [self._row_dets(row, row[:, 0] > box_threshold, classes)
+                for row in packed]
+
+    # -------------------------------------------------- fused-caption hooks
+    def caption_spans(self, classes):
+        """Fused multi-class caption for the generic fused-sweep hooks
+        (pipeline/segmentation_2d.run_classes). Multi-class IS YOLO-World's
+        native protocol — the contrastive head scores every box against the
+        whole guide-embedding set in one forward (the reference's
+        ``YOLOWorld.set_classes``/``infer``,
+        segmentation_2d_yolo_world.py:132-139, is the same shape) — so the
+        "span" of a class is simply its index into the per-class logits:
+        ``spans[i] = (i, i+1)``. Never overflows (no text-token budget)."""
+        caption = " . ".join(c.strip().rstrip(".").strip() for c in classes)
+        return caption, [(i, i + 1) for i in range(len(classes))]
+
+    def predict_finalize_demux(self, handle, spans,
+                               box_threshold=0.02, text_threshold=0.0):
+        """Demux a fused multi-class detection by ARGMAX class assignment
+        (the head packs each NMS survivor's best class — YOLO-World's
+        deployment protocol): class ``i`` keeps the boxes assigned argmax
+        class ``i`` that clear its threshold. ``box_threshold`` may be a
+        scalar or a per-span sequence. Like the GDINO demux, results are
+        protocol-adjacent to per-class captions (NMS and argmax see the
+        whole class set), hence the fused sweep mode stays opt-in."""
+        packed_d, classes = handle
+        packed = np.asarray(packed_d, np.float32)  # (B, K, 6)
+        thresholds = (list(box_threshold) if np.ndim(box_threshold)
+                      else [box_threshold] * len(spans))
+        if len(thresholds) != len(spans):
+            raise ValueError(f"{len(thresholds)} box thresholds for "
+                             f"{len(spans)} spans")
         out = []
         for row in packed:
-            sel = row[:, 0] > box_threshold
-            scores = row[sel, 0]
-            boxes = row[sel, 1:5]
-            cls_id = row[sel, 5].astype(np.int64)
-            boxes[:, [0, 2]] /= ww
-            boxes[:, [1, 3]] /= hh
-            cx = (boxes[:, 0] + boxes[:, 2]) / 2
-            cy = (boxes[:, 1] + boxes[:, 3]) / 2
-            bw = boxes[:, 2] - boxes[:, 0]
-            bh = boxes[:, 3] - boxes[:, 1]
-            cxcywh = np.clip(np.stack([cx, cy, bw, bh], 1), 0, 1)
-            out.append((cxcywh, scores, [classes[i] for i in cls_id]))
+            cls_id = row[:, 5].astype(np.int64)
+            out.append([
+                self._row_dets(row, (cls_id == s) & (row[:, 0] > thr), classes)
+                for (s, _e), thr in zip(spans, thresholds)])
         return out
 
 

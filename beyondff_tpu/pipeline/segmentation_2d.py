@@ -758,10 +758,13 @@ class Segmentor2D:
             per class into the output table, and bank hit frames' SAM
             embeddings NOW (the per-class override passes reuse them — the
             encode is text-independent, so one per scene serves the group)."""
-            classes_d, spans, out_tab = demux
+            classes_d, spans, out_tab = demux[:3]
+            # optional 4th element: per-class box thresholds (the A/B
+            # harness calibrates each class to its own operating point)
+            thr = demux[3] if len(demux) > 3 else d.box_threshold
             with _span("det_finalize"):
                 per_frame = self.detector.predict_finalize_demux(
-                    handle, spans, box_threshold=d.box_threshold,
+                    handle, spans, box_threshold=thr,
                     text_threshold=d.text_threshold)
             hit_idx = []
             for i, per_class in enumerate(per_frame):
@@ -1111,14 +1114,15 @@ def run_classes(cfg: Config, class_names: Sequence[str],
     detection half and the box decode. Checkpoints stay per-(class, scene),
     interchangeable with :func:`run`.
 
-    ``detector.fused_captions`` (BFF_SEG2D_FUSED=1/0 overrides; GDINO only):
-    instead of one text-conditioned detection pass per class, each scene runs
-    ONE fused multi-phrase detection pass per ``fused_group`` classes
-    (" . "-joined caption, the detector's native protocol) and per-class
-    results demux by caption token span; each class then replays only the
-    CLIP-filter -> SAM-decode half over its detected frames. Detections are
-    protocol-adjacent, not byte-identical, to per-class captions (shared
-    image pathway + top-K), so the mode is opt-in."""
+    ``detector.fused_captions`` (BFF_SEG2D_FUSED=1/0 overrides): instead of
+    one text-conditioned detection pass per class, each scene runs ONE fused
+    multi-phrase detection pass per ``fused_group`` classes (" . "-joined
+    caption, both detectors' native protocol) and per-class results demux —
+    GDINO by caption token span, YOLO-World by argmax class assignment; each
+    class then replays only the CLIP-filter -> SAM-decode half over its
+    detected frames. Detections are protocol-adjacent, not byte-identical,
+    to per-class captions (shared image pathway + top-K), so the mode is
+    opt-in."""
     p = cfg.paths
     if scenes is None:
         scenes = sorted(

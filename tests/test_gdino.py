@@ -291,3 +291,13 @@ def test_demux_span_scores_are_span_maxima(tiny_gdino):
         keep = want > 0.3
         np.testing.assert_allclose(scores, want[keep], rtol=1e-6)
         assert boxes.shape[0] == int(keep.sum()) == len(phrases)
+
+    # per-span thresholds: each class keeps its own operating point
+    thr = [float(np.median(probs[:, s:e].max(axis=1))) for s, e in spans]
+    out2 = tiny_gdino.predict_finalize_demux(handle, spans, box_threshold=thr,
+                                             text_threshold=0.25)
+    for (s, e), t, (boxes, scores, _p) in zip(spans, thr, out2[0]):
+        want = probs[:, s:e].max(axis=1)
+        np.testing.assert_allclose(scores, want[want > t], rtol=1e-6)
+    with np.testing.assert_raises(ValueError):
+        tiny_gdino.predict_finalize_demux(handle, spans, box_threshold=[0.3])

@@ -731,3 +731,75 @@ def test_run_classes_fused_matches_manual_demux(tmp_path, monkeypatch):
                         lambda *a, **k: calls.append(1) or orig(*a, **k))
     s2d.run_classes(cfg2, classes, resume=False, segmentor=seg)
     assert calls == [], "BFF_SEG2D_FUSED=0 must not demux"
+
+
+def test_run_classes_fused_yolo_matches_manual_demux(tmp_path):
+    """The fused-caption sweep also serves the fast variant: YOLO-World's
+    demux-by-argmax hooks plug into the same run_classes path (two-tier
+    lazy SAM uploads included), and per-class stage files equal a
+    hand-driven demux + detections_override pipeline."""
+    import os
+
+    import cv2
+
+    from beyondff_tpu.core import rle as rle_mod
+    from beyondff_tpu.pipeline import segmentation_2d as s2d
+    from beyondff_tpu.utils import io as bio
+
+    rng = np.random.default_rng(47)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(4):
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    s1_dir = tmp_path / "stage1"
+    s1_dir.mkdir()
+    (s1_dir / "scene0000_00.npz").write_bytes(b"")
+    cfg = Config.from_dict({
+        "paths": {"scene_2d_dir": str(tmp_path),
+                  "mask_2d_dir": str(tmp_path / "mask_2d"),
+                  "stage_1_results_dir": str(s1_dir),
+                  "checkpoint_dir": str(tmp_path / "ckpt")},
+        "frames": {"width_2d": 64, "height_2d": 64, "downsample_ratio": 1},
+        "detector": {"kind": "yolo_world", "box_threshold": 0.0,
+                     "must_match_query": False, "similarity_threshold": -10.0,
+                     "max_detections": 4, "dtype": "float32",
+                     "frame_batch": 2, "filter_with_clip": True,
+                     "fused_captions": True, "fused_group": 16},
+    })
+    seg = Segmentor2D(cfg)
+    classes = ["clothes", "towel"]
+
+    groups = s2d._fused_groups(seg.detector, classes, 16)
+    assert len(groups) == 1
+    _g, caption, spans = groups[0]
+    dets: dict = {}
+    bank: dict = {}
+    seg.process_scene("scene0000_00", caption, frame_bank=bank,
+                      demux=(classes, spans, dets))
+    expect = {}
+    for c in classes:
+        table = {fid: det for (cc, fid), det in dets.items() if cc == c}
+        recs = seg.process_scene("scene0000_00", c, frame_bank=bank,
+                                 detections_override=table)
+        rle_mod.encode_frame_masks(recs)
+        expect[c] = recs
+    # argmax demux splits the boxes between the classes — both should see
+    # some detections in a permissive-threshold run for the test to bite
+    assert any(expect[c] for c in classes)
+
+    got = s2d.run_classes(cfg, classes, resume=False, segmentor=seg)
+    assert set(got) == set(classes)
+    for c in classes:
+        path = os.path.join(cfg.paths.mask_2d_dir, c,
+                            f"scene0000_00.{cfg.output_format}")
+        recs = bio.load_frame_records(path)
+        assert len(recs) == len(expect[c])
+        for a, b in zip(expect[c], recs):
+            assert a["frame_id"] == b["frame_id"]
+            assert list(a["labels"]) == list(b["labels"])
+            np.testing.assert_array_equal(
+                rle_mod.rle_decode_batch(a["segmented_frame_masks"]),
+                rle_mod.rle_decode_batch(b["segmented_frame_masks"]))
+            np.testing.assert_allclose(a["confidences"], b["confidences"],
+                                       rtol=1e-6)

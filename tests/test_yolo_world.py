@@ -73,3 +73,42 @@ def test_class_embeddings_dim_guard(tiny_yw):
         tiny_yw.clip = None
         tiny_yw.clip_tokenizer = None
         tiny_yw._text_cache.clear()
+
+
+def test_caption_spans_index_protocol(tiny_yw):
+    """YOLO-World's fused-caption spans are class indices (i, i+1) and the
+    caption re-splits to the class list (predict's '.'-separator parse)."""
+    caption, spans = tiny_yw.caption_spans(["red chair", "towel.", " tv "])
+    assert caption == "red chair . towel . tv"
+    assert spans == [(0, 1), (1, 2), (2, 3)]
+    parsed = [c.strip() for c in caption.rstrip(".").split(".") if c.strip()]
+    assert parsed == ["red chair", "towel", "tv"]
+
+
+def test_yolo_demux_partitions_finalize(tiny_yw):
+    """Fused demux = predict_finalize partitioned by argmax class: the union
+    over classes of demuxed detections (scalar threshold) is exactly the
+    finalize keep-set, each box landing in its assigned class's bucket."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (*tiny_yw.cfg.img_size, 3), dtype=np.uint8)
+    caption, spans = tiny_yw.caption_spans(["chair", "towel", "tv"])
+    handle = tiny_yw.predict_batch_frames_async(jnp.asarray(img[None]), caption)
+    ref = tiny_yw.predict_finalize(handle, box_threshold=0.0)
+    out = tiny_yw.predict_finalize_demux(handle, spans, box_threshold=0.0)
+    (rb, rs, rp) = ref[0]
+    classes = ["chair", "towel", "tv"]
+    assert len(out) == 1 and len(out[0]) == 3
+    for ci, (db, ds, dp) in enumerate(out[0]):
+        sel = np.asarray([p == classes[ci] for p in rp], bool)
+        np.testing.assert_array_equal(db, rb[sel])
+        np.testing.assert_array_equal(ds, rs[sel])
+        assert dp == [p for p in rp if p == classes[ci]]
+    assert sum(len(d[2]) for d in out[0]) == len(rp)
+
+    # per-span thresholds apply independently
+    ts = [float(np.median(ds)) if len(ds) else 0.5 for _b, ds, _p in out[0]]
+    out2 = tiny_yw.predict_finalize_demux(handle, spans, box_threshold=ts)
+    for t, (_b0, ds0, _p0), (_b, ds, _p) in zip(ts, out[0], out2[0]):
+        np.testing.assert_array_equal(ds, ds0[ds0 > t])
+    with pytest.raises(ValueError):
+        tiny_yw.predict_finalize_demux(handle, spans, box_threshold=[0.1])

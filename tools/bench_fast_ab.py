@@ -20,6 +20,13 @@ workload-faithful value, CLIP crop filter on, calibrated thresholds):
    banked text-independent backbone pyramid (models/yolo_world.py split),
    re-running only the text-guided PAN + head per class.
 
+3. Fused captions (BFF_FAST_MODES=fused, GDINO only, BFF_FAST_CLASSES=N):
+   paired per-class-banked vs fused-caption sweeps — the fused variant runs
+   ONE multi-phrase detection pass per scene per class group (caption
+   demuxed by token span, per-class thresholds calibrated on the FUSED
+   caption's scores so each class keeps ~boxes_target boxes) and replays
+   each class through detections_override (CLIP filter + SAM decode only).
+
 Regimes: miss (box_threshold above every score — no masks) and hit (every
 frame detects ~boxes_target boxes).
 """
@@ -186,6 +193,107 @@ def main():
                       f"{np.mean(banked):.2f} f/s avg (max {max(banked):.2f})"
                       f" -> amortization x{np.mean(banked) / best[v]['first']:.2f}",
                       flush=True)
+
+        if "fused" in modes and n_classes > 1:
+            # ---- fused-captions mode: per-class banked loop vs one fused
+            # multi-phrase detection pass + per-class override replays.
+            from beyondff_tpu.pipeline import segmentation_2d as s2d
+            from beyondff_tpu.utils import io as bio
+
+            classes = [f"class{j}" for j in range(n_classes)]
+            group_size = int(os.environ.get("BFF_FUSED_GROUP", "16"))
+            groups = s2d._fused_groups(seg.detector, classes, group_size)
+            print(f"# fused groups: {[len(g[0]) for g in groups]}", flush=True)
+
+            # per-class thresholds, calibrated per PROTOCOL: the single-class
+            # captions for the per-class variant, the fused caption's span
+            # scores for the fused variant (both keep ~boxes_target boxes on
+            # frame0, so the downstream CLIP/SAM workload matches)
+            thr_pc, thr_fused = {}, {}
+            if regime == "hit":
+                frame0 = bio.load_image(
+                    os.path.join(root, "scene0000_00", "color", "0.jpg"),
+                    size=size)
+                for c in classes:
+                    thr_pc[c] = query_threshold(seg, root, size,
+                                                boxes_target, c)
+                for group, caption, spans in groups:
+                    if hasattr(seg.detector, "_dispatch"):  # GDINO spans
+                        handle = seg.detector._dispatch([frame0], caption,
+                                                        frames=False)
+                        out0 = seg.detector.predict_finalize_demux(
+                            handle, spans, box_threshold=-1e9)
+                        per_class_scores = [sc for _b, sc, _p in out0[0]]
+                    else:  # YOLO-World: argmax class assignment
+                        _b, sc_all, ph = seg.detector.predict(
+                            frame0, caption, box_threshold=-1.0)
+                        per_class_scores = [
+                            np.asarray([s for s, p in zip(sc_all, ph)
+                                        if p == c]) for c in group]
+                    for c, sc in zip(group, per_class_scores):
+                        sc = np.sort(np.asarray(sc))[::-1]
+                        thr_fused[c] = (float(sc[boxes_target - 1]) - 1e-6
+                                        if sc.size >= boxes_target else -1.0)
+            else:
+                thr_pc = {c: 2.0 for c in classes}
+                thr_fused = dict(thr_pc)
+
+            # warm both protocols' programs
+            seg.cfg = cfg.override(
+                **{"detector.box_threshold": thr_pc[classes[0]]})
+            t0 = time.time()
+            seg.process_scene("scene0000_00", classes[0])
+            print(f"# warmup {time.time() - t0:.1f}s", flush=True)
+
+            best = {"perclass": 0.0, "fused": 0.0}
+            masks = {}
+            for p in range(passes):
+                # A: per-class banked loop (the existing run_classes pattern)
+                bank = {}
+                t0 = time.time()
+                n_masks = 0
+                for c in classes:
+                    seg.cfg = cfg.override(
+                        **{"detector.box_threshold": thr_pc[c]})
+                    recs = seg.process_scene("scene0000_00", c,
+                                             frame_bank=bank)
+                    n_masks += sum(len(r["confidences"]) for r in recs)
+                dt = time.time() - t0
+                fps = n_frames * n_classes / dt
+                best["perclass"] = max(best["perclass"], fps)
+                masks["perclass"] = n_masks
+                print(f"  pass{p} {regime} [perclass] {dt:.2f}s = "
+                      f"{fps:.2f} class-f/s ({n_masks} masks)", flush=True)
+
+                # B: fused demux + override replays
+                bank = {}
+                t0 = time.time()
+                n_masks = 0
+                for group, caption, spans in groups:
+                    dets = {}
+                    thr = [thr_fused[c] for c in group]
+                    seg.process_scene("scene0000_00", caption,
+                                      frame_bank=bank,
+                                      demux=(group, spans, dets, thr))
+                    for c in group:
+                        table = {fid: det for (cc, fid), det in dets.items()
+                                 if cc == c}
+                        recs = seg.process_scene(
+                            "scene0000_00", c, frame_bank=bank,
+                            detections_override=table)
+                        n_masks += sum(len(r["confidences"]) for r in recs)
+                dt = time.time() - t0
+                fps = n_frames * n_classes / dt
+                best["fused"] = max(best["fused"], fps)
+                masks["fused"] = n_masks
+                print(f"  pass{p} {regime} [fused] {dt:.2f}s = "
+                      f"{fps:.2f} class-f/s ({n_masks} masks)", flush=True)
+            print(f"{regime}-regime fused x{n_classes} classes best-of-"
+                  f"{passes}: perclass {best['perclass']:.2f} vs fused "
+                  f"{best['fused']:.2f} class-f/s -> "
+                  f"x{best['fused'] / max(best['perclass'], 1e-9):.2f} "
+                  f"(masks {masks.get('perclass')} vs {masks.get('fused')})",
+                  flush=True)
 
         if "knob" not in modes:
             continue
