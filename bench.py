@@ -454,11 +454,12 @@ def multiclass_wall_clock(models, small):
             seg.process_scene(
                 "scene0000_00", caption, frame_bank=bank,
                 demux=(group, spans, dets, [thr_fused[c] for c in group]))
-            for c in group:
-                table = {fid: det for (cc, fid), det in dets.items()
-                         if cc == c}
-                recs = seg.process_scene("scene0000_00", c, frame_bank=bank,
-                                         detections_override=table)
+            tables = {c: {fid: det for (cc, fid), det in dets.items()
+                          if cc == c} for c in group}
+            by_class = seg.process_scene("scene0000_00", caption,
+                                         frame_bank=bank,
+                                         override_groups=tables)
+            for recs in by_class.values():
                 n_masks += sum(len(r["confidences"]) for r in recs)
         dt = time.time() - t0
         fps = n_frames * n_classes / dt

@@ -276,10 +276,12 @@ class Segmentor2D:
             pass
         return feats_dev, n
 
-    def _clip_sims_fetch(self, feats_dev, n: int, query: str) -> np.ndarray:
+    def _clip_feats_fetch(self, feats_dev, n: int) -> np.ndarray:
         feats = np.asarray(feats_dev, np.float32)[:n]
-        feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
-        return feats @ self.query_embedding(query)
+        return feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+
+    def _clip_sims_fetch(self, feats_dev, n: int, query: str) -> np.ndarray:
+        return self._clip_feats_fetch(feats_dev, n) @ self.query_embedding(query)
 
     def _clip_sims(self, crops: List[np.ndarray], query: str) -> np.ndarray:
         feats_dev, n = self._clip_sims_dispatch(crops)
@@ -445,7 +447,8 @@ class Segmentor2D:
     def process_scene(self, scene_id: str, query: str,
                       frame_bank: Optional[Dict] = None,
                       demux: Optional[tuple] = None,
-                      detections_override: Optional[Dict] = None) -> List[Dict]:
+                      detections_override: Optional[Dict] = None,
+                      override_groups: Optional[Dict] = None):
         """All frames of a scene, batched ``detector.frame_batch`` at a time
         through the detector and SAM encoder, with prefetched image loading.
 
@@ -473,7 +476,18 @@ class Segmentor2D:
         the detector entirely and feeds the recorded detections through the
         unchanged CLIP-filter -> SAM decode pipeline; frames absent from the
         table are skipped outright (a frame with no boxes emits no record
-        either way)."""
+        either way).
+        ``override_groups={class: {frame_id: dets}}`` is the COMBINED form:
+        the pipeline's unit becomes a (frame, class) entry, so one pass
+        replays the whole class group — frame uploads/encodes key by frame
+        (shared via ``frame_bank``, required), crops/CLIP-sims/decodes run
+        per entry against that entry's class, and mixed-class batches share
+        each flush cycle's device dispatches and D2H transfers (the ~28 ms
+        fixed link cost per transfer is paid once per batch instead of once
+        per class per batch). Returns ``{class: [records]}``. Masks are
+        byte-identical to per-class ``detections_override`` replays;
+        confidences (CLIP sims) match up to f32 ulps — the combined crop
+        batch pads to a different power-of-2 than per-class batches."""
         p = self.cfg.paths
         d = self.cfg.detector
         size = (self.cfg.frames.width_2d, self.cfg.frames.height_2d)
@@ -483,18 +497,35 @@ class Segmentor2D:
         device_frames = (d.device_frames
                          and hasattr(self.detector, "predict_batch_frames_async")
                          and hasattr(self.sam, "encode_frames"))
-        if demux is not None or detections_override is not None:
+        group = override_groups is not None
+        if demux is not None or detections_override is not None or group:
             if not device_frames:
                 raise ValueError("fused-caption passes require the "
                                  "device-frames detector path")
             if demux is not None and not hasattr(self.detector,
                                                  "predict_finalize_demux"):
                 raise ValueError("detector does not support caption demux")
-        if detections_override is not None:
+        if group:
+            if frame_bank is None:
+                raise ValueError("override_groups requires a frame_bank "
+                                 "(frames are shared across entries)")
+            # pipeline unit = (frame, class) entry, frame-major so a frame's
+            # banked buffer/embedding serves its classes back to back
+            frame_ids = [(f, c) for f in frame_ids for c in override_groups
+                         if f in override_groups[c]]
+            if not frame_ids:
+                return {c: [] for c in override_groups}
+        elif detections_override is not None:
             # only frames the fused pass detected can emit records
             frame_ids = [f for f in frame_ids if f in detections_override]
             if not frame_ids:
                 return []
+
+        def fid_of(e):
+            return e[0] if group else e
+
+        def query_of(e):
+            return e[1] if group else query
 
         # Two-tier upload: when the detector's input is SMALLER than the
         # SAM-scaled frame (YOLO-World's 640x640 vs the 1024-long-side SAM
@@ -549,7 +580,8 @@ class Segmentor2D:
                 bank[("img", fid)] = img
             return img
 
-        def load(fid):
+        def load(entry):
+            fid = fid_of(entry)
             img = _load_img(fid)
             if device_frames:
                 if two_tier:
@@ -564,31 +596,32 @@ class Segmentor2D:
                         dev = _color.upload_frame(det_img, yuv=yuv)
                         if bank is not None:
                             bank[("det", fid)] = dev
-                    return fid, img, None, dev
+                    return entry, img, None, dev
                 dev = bank.get(("sam", fid)) if bank is not None else None
                 if dev is not None:
                     small, input_hw = bank[("sam_host", fid)]
-                    return fid, small, input_hw, dev
+                    return entry, small, input_hw, dev
                 small, input_hw = self.sam.scale_frame(img)
                 # upload starts here, in the prefetch thread (async dispatch)
                 dev = _color.upload_frame(small, yuv=yuv)
                 if bank is not None:
                     bank[("sam", fid)] = dev
                     bank[("sam_host", fid)] = (small, input_hw)
-                return fid, small, input_hw, dev
-            return fid, img
+                return entry, small, input_hw, dev
+            return entry, img
 
         def load_chunk(fids):
             """Batched-upload loader: decode + scale a whole detection batch
             on the host, then ship it as ONE device transfer. Banked chunks
             restack the per-frame buffers on device (no link traffic)."""
-            imgs = [_load_img(fid) for fid in fids]
+            imgs = [_load_img(fid_of(e)) for e in fids]
             key = "det" if two_tier else "sam"
-            if bank is not None and all((key, f) in bank for f in fids):
-                dev = _stack_jit(len(fids))(*[bank[(key, f)] for f in fids])
+            if bank is not None and all((key, fid_of(e)) in bank for e in fids):
+                dev = _stack_jit(len(fids))(
+                    *[bank[(key, fid_of(e))] for e in fids])
                 if two_tier:
                     return list(fids), imgs, None, dev
-                smalls, hws = zip(*[bank[("sam_host", f)] for f in fids])
+                smalls, hws = zip(*[bank[("sam_host", fid_of(e))] for e in fids])
                 return list(fids), list(smalls), hws[0], dev
             if two_tier:
                 import cv2
@@ -599,26 +632,28 @@ class Segmentor2D:
                 dev = _color.upload_frames(det_imgs, yuv=yuv)
                 if bank is not None:
                     for i, f in enumerate(fids):
-                        bank[("det", f)] = dev[i]
+                        bank[("det", fid_of(f))] = dev[i]
                 return list(fids), imgs, None, dev
             pairs = [self.sam.scale_frame(im) for im in imgs]
             dev = _color.upload_frames([pr[0] for pr in pairs], yuv=yuv)
             if bank is not None:
                 for i, f in enumerate(fids):
-                    bank[("sam", f)] = dev[i]
-                    bank[("sam_host", f)] = pairs[i]
+                    bank[("sam", fid_of(f))] = dev[i]
+                    bank[("sam_host", fid_of(f))] = pairs[i]
             return (list(fids), [pr[0] for pr in pairs], pairs[0][1], dev)
 
         from beyondff_tpu.utils.prefetch import prefetch_map
 
         batched = hasattr(self.detector, "predict_batch")
         records: List[Dict] = []
+        records_by_class: Dict[str, List[Dict]] = (
+            {c: [] for c in override_groups} if group else {})
         buf: List = []
 
         def emit(kept, masks):
-            for (fid, _img, (bx, scores, phrases)), m in zip(kept, masks):
-                records.append({
-                    "frame_id": f"{fid}.jpg",
+            for (entry, _img, (bx, scores, phrases)), m in zip(kept, masks):
+                (records_by_class[entry[1]] if group else records).append({
+                    "frame_id": f"{fid_of(entry)}.jpg",
                     "segmented_frame_masks": m[:, None].astype(bool),
                     "confidences": [float(s) for s in scores],
                     "labels": list(phrases),
@@ -663,8 +698,8 @@ class Segmentor2D:
                 input_hw = buf[0][2]
                 devs = [b[3] for b in buf]
                 frames_dev = None
-            if detections_override is not None:
-                # fused-caption class pass: this batch's detections were
+            if detections_override is not None or group:
+                # fused-caption replay: this batch's detections were
                 # recorded by the demux pass — no detector work at all
                 pending.append((fids, smalls, input_hw, devs, None))
                 buf.clear()
@@ -725,19 +760,33 @@ class Segmentor2D:
                     and os.environ.get("BFF_SEG2D_BANK_EMB", "1") != "0")
 
         def encode_banked(fids, indices, enc_input):
-            if not bank_emb:
+            if not bank_emb and not group:
                 return self.sam.encode_frames(enc_input(indices))
-            cached = {i: bank.get(("sam_emb", fids[i])) for i in indices}
-            missing = [i for i in indices if cached[i] is None]
+            cached = ({i: bank.get(("sam_emb", fid_of(fids[i])))
+                       for i in indices} if bank_emb
+                      else {i: None for i in indices})
+            # dedupe by FRAME: group-mode batches can carry the same frame
+            # under several classes — encode it once
+            missing, seen = [], set()
+            for i in indices:
+                if cached[i] is None and fid_of(fids[i]) not in seen:
+                    seen.add(fid_of(fids[i]))
+                    missing.append(i)
             if missing:
                 fresh = self.sam.encode_frames(enc_input(missing))
-                cap = int(os.environ.get("BFF_SEG2D_BANK_EMB_CAP", "256"))
-                n_banked = sum(1 for k in bank if k[0] == "sam_emb")
-                for j, i in enumerate(missing):
-                    cached[i] = fresh[j]
-                    if n_banked < cap:
-                        bank[("sam_emb", fids[i])] = cached[i]
-                        n_banked += 1
+                fresh_by_fid = {fid_of(fids[i]): fresh[j]
+                                for j, i in enumerate(missing)}
+                if bank_emb:
+                    cap = int(os.environ.get("BFF_SEG2D_BANK_EMB_CAP", "256"))
+                    n_banked = sum(1 for k in bank if k[0] == "sam_emb")
+                    for i in missing:
+                        if n_banked < cap:
+                            bank[("sam_emb", fid_of(fids[i]))] = \
+                                fresh_by_fid[fid_of(fids[i])]
+                            n_banked += 1
+                for i in indices:
+                    if cached[i] is None:
+                        cached[i] = fresh_by_fid[fid_of(fids[i])]
                 if len(missing) == len(indices):
                     return fresh
             return _stack_jit(len(indices))(*[cached[i] for i in indices])
@@ -796,15 +845,17 @@ class Segmentor2D:
                 demux_stage(fids, devs, handle)
                 return
             with _span("det_finalize"):
-                if handle is None:
+                if group:
+                    raw = [override_groups[e[1]][e[0]] for e in fids]
+                elif handle is None:
                     raw = [detections_override[fid] for fid in fids]
                 else:
                     raw = self.detector.predict_finalize(
                         handle, box_threshold=d.box_threshold,
                         text_threshold=d.text_threshold)
             with _span("phrase_filter"):
-                pre = [self._phrase_filter(im, query, det, frame_hw)
-                       for im, det in zip(smalls, raw)]
+                pre = [self._phrase_filter(im, query_of(e), det, frame_hw)
+                       for e, im, det in zip(fids, smalls, raw)]
             idx = [i for i, p in enumerate(pre) if p is not None]
             if not idx:
                 return
@@ -831,10 +882,10 @@ class Segmentor2D:
                         sam_devs = {}
                         missing = []
                         for i in idx:
-                            cached = bank.get(("sam", fids[i]))
+                            cached = bank.get(("sam", fid_of(fids[i])))
                             if cached is not None:
                                 sam_devs[i] = cached
-                                input_hw = bank[("sam_host", fids[i])][1]
+                                input_hw = bank[("sam_host", fid_of(fids[i]))][1]
                             else:
                                 missing.append(i)
                         if missing:
@@ -845,8 +896,8 @@ class Segmentor2D:
                                 [pr[0] for pr in pairs], yuv=yuv)
                             for j, i in enumerate(missing):
                                 sam_devs[i] = up[j]
-                                bank[("sam", fids[i])] = up[j]
-                                bank[("sam_host", fids[i])] = pairs[j]
+                                bank[("sam", fid_of(fids[i]))] = up[j]
+                                bank[("sam_host", fid_of(fids[i]))] = pairs[j]
 
                         def enc_input(indices):
                             return _stack_jit(len(indices))(
@@ -854,17 +905,18 @@ class Segmentor2D:
                     else:
                         sam_devs = {}
                         for i in idx:
-                            cached = (bank.get(("sam", fids[i]))
+                            cached = (bank.get(("sam", fid_of(fids[i])))
                                       if bank is not None else None)
                             if cached is not None:
                                 sam_devs[i] = cached
-                                input_hw = bank[("sam_host", fids[i])][1]
+                                input_hw = bank[("sam_host", fid_of(fids[i]))][1]
                                 continue
                             small_i, input_hw = self.sam.scale_frame(smalls[i])
                             sam_devs[i] = _color.upload_frame(small_i, yuv=yuv)
                             if bank is not None:
-                                bank[("sam", fids[i])] = sam_devs[i]
-                                bank[("sam_host", fids[i])] = (small_i, input_hw)
+                                bank[("sam", fid_of(fids[i]))] = sam_devs[i]
+                                bank[("sam_host", fid_of(fids[i]))] = (
+                                    small_i, input_hw)
 
                         def enc_input(indices):
                             return _stack_jit(len(indices))(
@@ -908,12 +960,22 @@ class Segmentor2D:
             dets_by_i = {}
             if feats_dev is not None:
                 with _span("clip_wait"):
-                    sims_all = self._clip_sims_fetch(feats_dev, n_crops, query)
+                    if group:
+                        # one feats download serves every class in the batch;
+                        # each entry dots against ITS class's embedding
+                        feats_all = self._clip_feats_fetch(feats_dev, n_crops)
+                    else:
+                        sims_all = self._clip_sims_fetch(
+                            feats_dev, n_crops, query)
                 with _span("filter_apply"):
                     off = 0
                     for i, n in zip(idx, counts):
                         boxes_xyxy, _scores, phrases = pre[i]
-                        sims = sims_all[off:off + n]
+                        if group:
+                            sims = feats_all[off:off + n] @ \
+                                self.query_embedding(query_of(fids[i]))
+                        else:
+                            sims = sims_all[off:off + n]
                         off += n
                         keep = sims >= d.similarity_threshold
                         bx = boxes_xyxy[keep]
@@ -1034,7 +1096,7 @@ class Segmentor2D:
                              sorted(trace.items(), key=lambda kv: -kv[1]))
             print(f"# seg2d host trace [{scene_id}] total={total * 1000:.0f}ms "
                   f"({len(frame_ids)} frames): {parts}", flush=True)
-        return records
+        return records_by_class if group else records
 
 
 def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None,
@@ -1171,14 +1233,18 @@ def run_classes(cfg: Config, class_names: Sequence[str],
                     seg.process_scene(scene_id, caption,
                                       frame_bank=frame_bank,
                                       demux=(group, spans, dets))
+                tables = {c: {fid: det for (cc, fid), det in dets.items()
+                              if cc == c} for c in group}
+                # COMBINED replay: one pipeline pass serves the whole group
+                # — mixed-class batches share every flush cycle's device
+                # dispatches and D2H transfers (per-entry math identical to
+                # per-class detections_override replays)
+                with prof.span("scene", frames=len(frame_ids)):
+                    by_class = seg.process_scene(
+                        scene_id, caption, frame_bank=frame_bank,
+                        override_groups=tables)
                 for c in group:
-                    table = {fid: det for (cc, fid), det in dets.items()
-                             if cc == c}
-                    with prof.span("scene", frames=len(frame_ids)):
-                        records = seg.process_scene(
-                            scene_id, c, frame_bank=frame_bank,
-                            detections_override=table)
-                    finish(c, records)
+                    finish(c, by_class[c])
             continue
         for c in todo:
             with prof.span("scene", frames=len(frame_ids)):

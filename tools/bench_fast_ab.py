@@ -265,7 +265,8 @@ def main():
                 print(f"  pass{p} {regime} [perclass] {dt:.2f}s = "
                       f"{fps:.2f} class-f/s ({n_masks} masks)", flush=True)
 
-                # B: fused demux + override replays
+                # B: fused demux + COMBINED replay (the run_classes pattern:
+                # one pipeline pass serves the whole group's replays)
                 bank = {}
                 t0 = time.time()
                 n_masks = 0
@@ -275,12 +276,12 @@ def main():
                     seg.process_scene("scene0000_00", caption,
                                       frame_bank=bank,
                                       demux=(group, spans, dets, thr))
-                    for c in group:
-                        table = {fid: det for (cc, fid), det in dets.items()
-                                 if cc == c}
-                        recs = seg.process_scene(
-                            "scene0000_00", c, frame_bank=bank,
-                            detections_override=table)
+                    tables = {c: {fid: det for (cc, fid), det in dets.items()
+                                  if cc == c} for c in group}
+                    by_class = seg.process_scene(
+                        "scene0000_00", caption, frame_bank=bank,
+                        override_groups=tables)
+                    for recs in by_class.values():
                         n_masks += sum(len(r["confidences"]) for r in recs)
                 dt = time.time() - t0
                 fps = n_frames * n_classes / dt
