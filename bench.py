@@ -752,16 +752,33 @@ def main():
     iters = int(os.environ.get("BFF_BENCH_ITERS", "8"))
     dtype = jnp.bfloat16
 
+    def _build_models():
+        if small:
+            sam = sam_mod.SAM.create("test", dtype=dtype, device_fill=True)
+            clip = clip_mod.CLIP.create("test", dtype=dtype, device_fill=True)
+            gdino = GroundingDINO.create("test", dtype=dtype, device_fill=True)
+        else:
+            sam = sam_mod.SAM.create("vit_h", dtype=dtype, device_fill=True)
+            clip = clip_mod.CLIP.create("ViT-L/14", dtype=dtype, device_fill=True)
+            gdino = GroundingDINO.create(
+                gdino_model.PRESETS["swinb"], dtype=dtype, device_fill=True)
+        return sam, clip, gdino
+
+    # The shared chip can be transiently held by a co-tenant (observed:
+    # RESOURCE_EXHAUSTED on the very first device_fill). Bounded retries keep
+    # a transient episode from costing the whole round-end artifact.
     t0 = time.time()
-    if small:
-        sam = sam_mod.SAM.create("test", dtype=dtype, device_fill=True)
-        clip = clip_mod.CLIP.create("test", dtype=dtype, device_fill=True)
-        gdino = GroundingDINO.create("test", dtype=dtype, device_fill=True)
-    else:
-        sam = sam_mod.SAM.create("vit_h", dtype=dtype, device_fill=True)
-        clip = clip_mod.CLIP.create("ViT-L/14", dtype=dtype, device_fill=True)
-        gdino = GroundingDINO.create(
-            gdino_model.PRESETS["swinb"], dtype=dtype, device_fill=True)
+    retries = int(os.environ.get("BFF_BENCH_BUILD_RETRIES", "3"))
+    for attempt in range(retries + 1):
+        try:
+            sam, clip, gdino = _build_models()
+            break
+        except Exception as e:  # noqa: BLE001 - retry transient chip states
+            if attempt >= retries or "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            log(f"model build attempt {attempt + 1} hit transient "
+                f"{type(e).__name__}; retrying in 120s")
+            time.sleep(120)
     log(f"models built in {time.time() - t0:.1f}s")
     models = {
         "gdino": gdino, "clip": clip, "sam": sam,

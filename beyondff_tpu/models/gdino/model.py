@@ -811,7 +811,10 @@ class GroundingDINO:
         key = (id(mesh), tuple(mesh.devices.flat))
         fn = self._shmap_cache.get(key)
         if fn is None:
-            from jax.experimental.shard_map import shard_map
+            try:
+                from jax import shard_map  # jax >= 0.7
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
             fn = jax.jit(shard_map(
