@@ -421,7 +421,8 @@ def multiclass_wall_clock(models, small):
     if hasattr(seg.detector, "caption_spans") and os.environ.get(
             "BFF_BENCH_MULTI_FUSED", "1") != "0":
         from beyondff_tpu.pipeline.segmentation_2d import _fused_groups
-        fused_groups = _fused_groups(seg.detector, classes, 16)
+        fused_groups = _fused_groups(seg.detector, classes,
+                                     seg.cfg.detector.fused_group)
         thr_fused = {}
         for group, caption, spans in fused_groups:
             handle = seg.detector._dispatch([frame0], caption, frames=False)

@@ -95,7 +95,14 @@ class DetectorConfig:
     # against the whole class set), so the mode is opt-in.
     # BFF_SEG2D_FUSED=1/0 overrides.
     fused_captions: bool = False
-    fused_group: int = 16  # classes per fused caption (token budget also caps)
+    # classes per fused caption (the caption token budget also caps groups).
+    # Default 8 is the measured blended optimum at the sweep's ~25% hit mix:
+    # miss-regime amortization keeps growing with the group (x6.3 at 8,
+    # x8.8 at 16) but the hit regime DECAYS past 8 (x2.9 at 8 -> x1.5 at 16
+    # — the longer caption raises every frame's fused forward while the
+    # per-class decode work is irreducible), and 25%-hit blends favor 8
+    # (~x4.5 vs ~x3.3). See ARCHITECTURE.md fused-captions log.
+    fused_group: int = 8
     # fixed-shape padding: max detections per frame kept on device
     max_detections: int = 32
     # checkpoints (user-supplied; torch format accepted by the converters)
