@@ -19,10 +19,14 @@ import pytest  # noqa: E402
 # overrides JAX_PLATFORMS from the env; an explicit config update wins
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: repeated pytest runs skip XLA recompiles
+# persistent compilation cache: repeated pytest runs skip XLA recompiles.
+# Also exported as BFF_COMPILE_CACHE_DIR: `import beyondff_tpu` re-points the
+# cache to its own default otherwise (beyondff_tpu/__init__.py), which used to
+# silently override this setting on the first package import.
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.environ.setdefault("BFF_COMPILE_CACHE_DIR", _CACHE_DIR)
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_compilation_cache_dir", os.environ["BFF_COMPILE_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
