@@ -736,22 +736,16 @@ def lift_scaling(n_devices):
         "vs_baseline": round(t1 / tn, 3)}))
 
 
-def main():
-    devices_mode = os.environ.get("BFF_BENCH_DEVICES")
-    if devices_mode:
-        multichip_scaling(int(devices_mode))
-        return
-
-    import jax.numpy as jnp
-
+def build_models(small, dtype):
+    """The headline model stack (synthesized on device), with bounded
+    retries: the shared chip can be transiently held by a co-tenant
+    (observed: RESOURCE_EXHAUSTED on the very first device_fill) and a
+    transient episode must not cost the whole round-end artifact.
+    Shared with tools/bench_sweep.py."""
     from beyondff_tpu.models import clip as clip_mod
     from beyondff_tpu.models import sam as sam_mod
     from beyondff_tpu.models.gdino import GroundingDINO, model as gdino_model
     from beyondff_tpu.models.tokenizers import HashTokenizer
-
-    small = os.environ.get("BFF_BENCH_SCALE") == "small"
-    iters = int(os.environ.get("BFF_BENCH_ITERS", "8"))
-    dtype = jnp.bfloat16
 
     def _build_models():
         if small:
@@ -765,9 +759,6 @@ def main():
                 gdino_model.PRESETS["swinb"], dtype=dtype, device_fill=True)
         return sam, clip, gdino
 
-    # The shared chip can be transiently held by a co-tenant (observed:
-    # RESOURCE_EXHAUSTED on the very first device_fill). Bounded retries keep
-    # a transient episode from costing the whole round-end artifact.
     t0 = time.time()
     retries = int(os.environ.get("BFF_BENCH_BUILD_RETRIES", "3"))
     for attempt in range(retries + 1):
@@ -781,10 +772,24 @@ def main():
                 f"{type(e).__name__}; retrying in 120s")
             time.sleep(120)
     log(f"models built in {time.time() - t0:.1f}s")
-    models = {
+    return {
         "gdino": gdino, "clip": clip, "sam": sam,
         "clip_tok": HashTokenizer(clip.cfg.vocab_size, clip.cfg.context_length),
     }
+
+
+def main():
+    devices_mode = os.environ.get("BFF_BENCH_DEVICES")
+    if devices_mode:
+        multichip_scaling(int(devices_mode))
+        return
+
+    import jax.numpy as jnp
+
+    small = os.environ.get("BFF_BENCH_SCALE") == "small"
+    iters = int(os.environ.get("BFF_BENCH_ITERS", "8"))
+    dtype = jnp.bfloat16
+    models = build_models(small, dtype)
 
     try:
         link_up, link_down = link_probe()

@@ -448,7 +448,8 @@ class Segmentor2D:
                       frame_bank: Optional[Dict] = None,
                       demux: Optional[tuple] = None,
                       detections_override: Optional[Dict] = None,
-                      override_groups: Optional[Dict] = None):
+                      override_groups: Optional[Dict] = None,
+                      box_threshold: Optional[float] = None):
         """All frames of a scene, batched ``detector.frame_batch`` at a time
         through the detector and SAM encoder, with prefetched image loading.
 
@@ -487,9 +488,14 @@ class Segmentor2D:
         per class per batch). Returns ``{class: [records]}``. Masks are
         byte-identical to per-class ``detections_override`` replays;
         confidences (CLIP sims) match up to f32 ulps — the combined crop
-        batch pads to a different power-of-2 than per-class batches."""
+        batch pads to a different power-of-2 than per-class batches.
+
+        ``box_threshold`` overrides ``detector.box_threshold`` for this pass
+        (per-class operating points in multi-class sweeps; see
+        :func:`run_classes` ``class_thresholds``)."""
         p = self.cfg.paths
         d = self.cfg.detector
+        box_thr = d.box_threshold if box_threshold is None else box_threshold
         size = (self.cfg.frames.width_2d, self.cfg.frames.height_2d)
         frame_hw = (self.cfg.frames.height_2d, self.cfg.frames.width_2d)
         frame_ids = bio.list_scene_frames(p.scene_2d_dir, scene_id,
@@ -808,9 +814,9 @@ class Segmentor2D:
             embeddings NOW (the per-class override passes reuse them — the
             encode is text-independent, so one per scene serves the group)."""
             classes_d, spans, out_tab = demux[:3]
-            # optional 4th element: per-class box thresholds (the A/B
-            # harness calibrates each class to its own operating point)
-            thr = demux[3] if len(demux) > 3 else d.box_threshold
+            # optional 4th element: per-class box thresholds (classes
+            # calibrated to their own operating points)
+            thr = demux[3] if len(demux) > 3 else box_thr
             with _span("det_finalize"):
                 per_frame = self.detector.predict_finalize_demux(
                     handle, spans, box_threshold=thr,
@@ -851,7 +857,7 @@ class Segmentor2D:
                     raw = [detections_override[fid] for fid in fids]
                 else:
                     raw = self.detector.predict_finalize(
-                        handle, box_threshold=d.box_threshold,
+                        handle, box_threshold=box_thr,
                         text_threshold=d.text_threshold)
             with _span("phrase_filter"):
                 pre = [self._phrase_filter(im, query_of(e), det, frame_hw)
@@ -1037,10 +1043,10 @@ class Segmentor2D:
             fids, images = zip(*buf)
             if batched:
                 raw = self.detector.predict_batch(
-                    list(images), query, box_threshold=d.box_threshold,
+                    list(images), query, box_threshold=box_thr,
                     text_threshold=d.text_threshold)
             else:
-                raw = [self.detector.predict(im, query, box_threshold=d.box_threshold,
+                raw = [self.detector.predict(im, query, box_threshold=box_thr,
                                              text_threshold=d.text_threshold)
                        for im in images]
             kept = []
@@ -1160,7 +1166,9 @@ def _fused_groups(detector, classes: Sequence[str], group_size: int):
 
 def run_classes(cfg: Config, class_names: Sequence[str],
                 scenes: Optional[Sequence[str]] = None, resume: bool = True,
-                segmentor: Optional[Segmentor2D] = None) -> Dict[str, List[Dict]]:
+                segmentor: Optional[Segmentor2D] = None,
+                class_thresholds: Optional[Dict[str, float]] = None,
+                ) -> Dict[str, List[Dict]]:
     """Multi-class 2D stage with SCENE-OUTER ordering: each scene's frames
     are JPEG-decoded and uploaded to the device ONCE (a per-scene
     ``frame_bank``) and every class's detection pass reuses them.
@@ -1184,7 +1192,12 @@ def run_classes(cfg: Config, class_names: Sequence[str],
     class then replays only the CLIP-filter -> SAM-decode half over its
     detected frames. Detections are protocol-adjacent, not byte-identical,
     to per-class captions (shared image pathway + top-K), so the mode is
-    opt-in."""
+    opt-in.
+
+    ``class_thresholds``: optional per-class ``box_threshold`` overrides —
+    classes tuned to different operating points keep them through both the
+    per-class and the fused-demux paths (absent classes use
+    ``detector.box_threshold``)."""
     p = cfg.paths
     if scenes is None:
         scenes = sorted(
@@ -1229,10 +1242,14 @@ def run_classes(cfg: Config, class_names: Sequence[str],
             for group, caption, spans in _fused_groups(
                     seg.detector, todo, cfg.detector.fused_group):
                 dets: Dict = {}
+                dmx = (group, spans, dets)
+                if class_thresholds:
+                    dmx += ([class_thresholds.get(c, cfg.detector.box_threshold)
+                             for c in group],)
                 with prof.span("fused_detect", frames=len(frame_ids)):
                     seg.process_scene(scene_id, caption,
                                       frame_bank=frame_bank,
-                                      demux=(group, spans, dets))
+                                      demux=dmx)
                 tables = {c: {fid: det for (cc, fid), det in dets.items()
                               if cc == c} for c in group}
                 # COMBINED replay: one pipeline pass serves the whole group
@@ -1248,7 +1265,9 @@ def run_classes(cfg: Config, class_names: Sequence[str],
             continue
         for c in todo:
             with prof.span("scene", frames=len(frame_ids)):
-                records = seg.process_scene(scene_id, c, frame_bank=frame_bank)
+                records = seg.process_scene(
+                    scene_id, c, frame_bank=frame_bank,
+                    box_threshold=(class_thresholds or {}).get(c))
             finish(c, records)
     if any(results.values()):
         print(prof.report())

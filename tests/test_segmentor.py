@@ -871,3 +871,88 @@ def test_override_groups_matches_per_class_replays(tmp_path, monkeypatch):
     # across entries through the bank)
     with pytest.raises(ValueError, match="frame_bank"):
         seg.process_scene("scene0000_00", caption, override_groups=tables)
+
+
+def test_run_classes_class_thresholds(tmp_path):
+    """Per-class box_threshold overrides (run_classes ``class_thresholds``):
+    the per-class path must emit stage files identical to per-class run()
+    with the same threshold in cfg, and the fused path must apply each
+    class's own cutoff through the demux."""
+    import os
+
+    import cv2
+
+    from beyondff_tpu.core import rle as rle_mod
+    from beyondff_tpu.pipeline import segmentation_2d as s2d
+    from beyondff_tpu.utils import io as bio
+
+    rng = np.random.default_rng(57)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(4):
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    s1_dir = tmp_path / "stage1"
+    s1_dir.mkdir()
+    (s1_dir / "scene0000_00.npz").write_bytes(b"")
+    base = {
+        "paths": {"scene_2d_dir": str(tmp_path),
+                  "mask_2d_dir": str(tmp_path / "mask_2d"),
+                  "stage_1_results_dir": str(s1_dir),
+                  "checkpoint_dir": str(tmp_path / "ckpt_a")},
+        "frames": {"width_2d": 64, "height_2d": 64, "downsample_ratio": 1},
+        "detector": {"box_threshold": 1e9, "must_match_query": False,
+                     "similarity_threshold": -10.0, "max_detections": 4,
+                     "dtype": "float32", "frame_batch": 2,
+                     "filter_with_clip": True},
+    }
+    cfg = Config.from_dict(base)
+    seg = Segmentor2D(cfg)
+    classes = ["clothes", "towel"]
+    thr = {"clothes": -1.0, "towel": 1e9}  # hit / forced-miss
+
+    # expected: per-class run() with the threshold in cfg
+    expect = {}
+    for c in classes:
+        cfg_c = cfg.override(**{"detector.box_threshold": thr[c]})
+        seg.cfg = cfg_c
+        s2d.run(cfg_c, c, resume=False, segmentor=seg)
+        expect[c] = bio.load_frame_records(os.path.join(
+            cfg.paths.mask_2d_dir, c, f"scene0000_00.{cfg.output_format}"))
+    seg.cfg = cfg
+    assert len(expect["clothes"]) > 0 and len(expect["towel"]) == 0
+
+    cfg2 = cfg.override(**{"paths.checkpoint_dir": str(tmp_path / "ckpt_b")})
+    s2d.run_classes(cfg2, classes, resume=False, segmentor=seg,
+                    class_thresholds=thr)
+    for c in classes:
+        got = bio.load_frame_records(os.path.join(
+            cfg.paths.mask_2d_dir, c, f"scene0000_00.{cfg.output_format}"))
+        assert len(got) == len(expect[c])
+        for a, b in zip(expect[c], got):
+            assert a["frame_id"] == b["frame_id"]
+            np.testing.assert_array_equal(
+                rle_mod.rle_decode_batch(a["segmented_frame_masks"]),
+                rle_mod.rle_decode_batch(b["segmented_frame_masks"]))
+            np.testing.assert_allclose(a["confidences"], b["confidences"],
+                                       rtol=1e-6)
+    # cfg's own (1e9) threshold untouched for classes absent from the map
+    s2d.run_classes(
+        cfg.override(**{"paths.checkpoint_dir": str(tmp_path / "ckpt_c")}),
+        classes, resume=False, segmentor=seg,
+        class_thresholds={"clothes": -1.0})
+    assert len(bio.load_frame_records(os.path.join(
+        cfg.paths.mask_2d_dir, "towel",
+        f"scene0000_00.{cfg.output_format}"))) == 0
+
+    # fused path: each class keeps its own cutoff through the demux
+    cfg_f = cfg.override(**{"detector.fused_captions": True,
+                            "detector.fused_group": 16,
+                            "paths.checkpoint_dir": str(tmp_path / "ckpt_d")})
+    s2d.run_classes(cfg_f, classes, resume=False, segmentor=seg,
+                    class_thresholds=thr)
+    fused_hit = bio.load_frame_records(os.path.join(
+        cfg.paths.mask_2d_dir, "clothes", f"scene0000_00.{cfg.output_format}"))
+    fused_miss = bio.load_frame_records(os.path.join(
+        cfg.paths.mask_2d_dir, "towel", f"scene0000_00.{cfg.output_format}"))
+    assert len(fused_hit) > 0 and len(fused_miss) == 0
