@@ -177,18 +177,25 @@ def main():
     sim = ClipTextSimilarity(models["clip"], models["clip_tok"])
 
     boxes_target = cfg.detector.max_detections
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     calib_ids = np.linspace(0, args.frames - 1,
                             min(args.calib_frames, args.frames)).astype(int)
     calib_paths = [os.path.join(color_dir, f"{i}.jpg") for i in calib_ids]
     t0 = time.time()
     thr = calibrate_thresholds(seg, classes, calib_paths, args.hit_frac,
                                boxes_target)
-    fused_groups = _fused_groups(seg.detector, classes,
-                                 cfg.detector.fused_group)
-    thr_fused = calibrate_thresholds(seg, classes, calib_paths, args.hit_frac,
-                                     boxes_target, fused_groups=fused_groups)
+    thr_fused = None
+    if "fused" in modes:
+        # fused calibration costs its own detection pass over the calib
+        # frames — skip it entirely for ref/banked-only re-probes
+        fused_groups = _fused_groups(seg.detector, classes,
+                                     cfg.detector.fused_group)
+        thr_fused = calibrate_thresholds(seg, classes, calib_paths,
+                                         args.hit_frac, boxes_target,
+                                         fused_groups=fused_groups)
     log(f"calibration ({len(calib_paths)} frames x {len(classes)} classes, "
-        f"per-class + fused): {time.time() - t0:.1f}s")
+        f"per-class{' + fused' if thr_fused is not None else ''}): "
+        f"{time.time() - t0:.1f}s")
 
     def stage(fn):
         t0 = time.time()
@@ -246,7 +253,6 @@ def main():
         times["total"] = sum(times.values())
         return times
 
-    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     out_fh = open(args.out, "a") if args.out else None
     results = {}
     for mode in modes:
