@@ -73,33 +73,66 @@ def calibrate_thresholds(seg, classes, frame_paths, hit_frac, boxes_target,
     regime: per-frame stat = the boxes_target-th best detection score; the
     threshold is the (1 - hit_frac) quantile boundary of those stats. With
     ``fused_groups`` the scores come from the fused caption's span demux
-    (each class's own operating point on the fused forward)."""
+    (each class's own operating point on the fused forward).
+
+    Scores are computed through the SAME path the measured run uses —
+    SAM-scale resize, YCrCb 4:2:0 device upload, per-batch stack, batched
+    ``_dispatch(frames=True)`` — over ALL frames in run order. Measured
+    (r04): the single-image host ``predict`` path shifts scores by ~0.3-0.45
+    of the tiny per-frame spread on random-init weights, which blew the
+    realized hit mix from the designed 25% to ~64%; path-faithful scoring
+    makes the quantile exact by construction (up to bf16 score ties)."""
+    from beyondff_tpu.core import color as _color
+    from beyondff_tpu.pipeline.segmentation_2d import _stack_jit
     from beyondff_tpu.utils import io as bio
 
-    frames = [bio.load_image(p) for p in frame_paths]
+    fb = max(1, int(seg.cfg.detector.frame_batch))
+    yuv = os.environ.get("BFF_SEG2D_YUV", "1") != "0"
+    chunks = []  # (n_frames, stacked device buffer) in run order
+    for i in range(0, len(frame_paths), fb):
+        imgs = [bio.load_image(p) for p in frame_paths[i:i + fb]]
+        devs = [_color.upload_frame(seg.sam.scale_frame(im)[0], yuv=yuv)
+                for im in imgs]
+        chunks.append((len(devs), _stack_jit(len(devs))(*devs)))
+
+    def stat(sc):
+        # the stat must be the TOP-1 score: at runtime a frame enters the
+        # hit path iff ANY box clears the threshold, so quantiling a
+        # lower-ranked score over-admits frames whose top boxes clear it
+        # (measured r04: a 4th-best stat realized 100% hit at small scale).
+        # With the fixture's contrast ramp dominating within-frame spread,
+        # hit frames still carry ~boxes_target boxes each.
+        sc = np.asarray(sc)
+        return float(sc.max()) if sc.size else -1e9
+
     stats = {c: [] for c in classes}
     if fused_groups is None:
         for c in classes:
-            for im in frames:
-                _b, sc, _p = seg.detector.predict(im, c, box_threshold=-1e9)
-                sc = np.sort(np.asarray(sc))[::-1]
-                stats[c].append(float(sc[min(boxes_target - 1, sc.size - 1)])
-                                if sc.size else -1e9)
+            for _n, dev in chunks:
+                handle = seg.detector._dispatch(dev, c, frames=True)
+                for _b, sc, _p in seg.detector.predict_finalize(
+                        handle, box_threshold=-1e9):
+                    stats[c].append(stat(sc))
     else:
         for group, caption, spans in fused_groups:
-            for im in frames:
-                handle = seg.detector._dispatch([im], caption, frames=False)
+            for _n, dev in chunks:
+                handle = seg.detector._dispatch(dev, caption, frames=True)
                 out = seg.detector.predict_finalize_demux(
                     handle, spans, box_threshold=-1e9)
-                for c, (_b, sc, _p) in zip(group, out[0]):
-                    sc = np.sort(np.asarray(sc))[::-1]
-                    stats[c].append(
-                        float(sc[min(boxes_target - 1, sc.size - 1)])
-                        if sc.size else -1e9)
+                for per_frame in out:
+                    for c, (_b, sc, _p) in zip(group, per_frame):
+                        stats[c].append(stat(sc))
     thr = {}
     for c in classes:
         s = np.sort(np.asarray(stats[c]))[::-1]
         k = int(round(hit_frac * s.size))
+        # tie-aware boundary: scores tie (sigmoid saturation at small scale,
+        # bf16 logit quantization at full scale), and a threshold between
+        # tied values is unrealizable — cut at the strictly-separable
+        # boundary nearest the designed quantile, so the realized hit count
+        # equals the chosen k exactly
+        cuts = [0, s.size] + [j for j in range(1, s.size) if s[j - 1] > s[j]]
+        k = min(cuts, key=lambda j: abs(j - k))
         if k <= 0:
             thr[c] = float(s[0]) + 1e-6
         elif k >= s.size:
@@ -118,7 +151,9 @@ def main():
                     help="measured rounds per mode (best-of; CLAUDE.md "
                          "transient-degradation rule)")
     ap.add_argument("--hit-frac", type=float, default=0.25)
-    ap.add_argument("--calib-frames", type=int, default=24)
+    ap.add_argument("--calib-frames", type=int, default=0,
+                    help="deprecated, ignored: calibration scores every "
+                         "frame through the run path")
     ap.add_argument("--modes", default="ref,banked,fused")
     ap.add_argument("--small", action="store_true",
                     help="tiny models + tiny frames (CI smoke)")
@@ -157,8 +192,13 @@ def main():
     w2d, h2d = (64, 48) if args.small else (1296, 968)
     color_dir = os.path.join(cfg.paths.scene_2d_dir, "scene0000_00", "color")
     for i in range(args.frames):
-        cv2.imwrite(os.path.join(color_dir, f"{i}.jpg"),
-                    rng.integers(0, 255, (h2d, w2d, 3), dtype=np.uint8))
+        # deterministic contrast ramp: random-init detector scores over pure
+        # noise frames cluster within ~1e-5 of each other, so threshold
+        # calibration degenerates into tie-breaking; scaling per-frame
+        # amplitude spreads the score distribution for real
+        amp = 0.35 + 0.65 * i / max(args.frames - 1, 1)
+        img = (rng.integers(0, 255, (h2d, w2d, 3)) * amp).astype(np.uint8)
+        cv2.imwrite(os.path.join(color_dir, f"{i}.jpg"), img)
     log(f"fixture built in {time.time() - t0:.1f}s ({args.points} pts, "
         f"{args.frames} frames at {w2d}x{h2d}, {len(classes)} classes)")
 
@@ -178,9 +218,11 @@ def main():
 
     boxes_target = cfg.detector.max_detections
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
-    calib_ids = np.linspace(0, args.frames - 1,
-                            min(args.calib_frames, args.frames)).astype(int)
-    calib_paths = [os.path.join(color_dir, f"{i}.jpg") for i in calib_ids]
+    # calibrate over ALL frames in run order: the threshold quantile is then
+    # exact for the measured workload (--calib-frames subsampling was the
+    # r04 source of a 2.5x hit-mix miss and is retired)
+    calib_paths = [os.path.join(color_dir, f"{i}.jpg")
+                   for i in range(args.frames)]
     t0 = time.time()
     thr = calibrate_thresholds(seg, classes, calib_paths, args.hit_frac,
                                boxes_target)
@@ -264,18 +306,21 @@ def main():
         log(f"{mode} warmup (incl compiles): {time.time() - t0:.1f}s "
             f"[{ {k: round(v, 1) for k, v in warm.items()} }]")
         best = None
+        masks = hit_frames = 0
         for r in range(args.rounds):
             t = run_mode(mode)
-            masks = 0
+            masks = hit_frames = 0
             for c in classes:
                 from beyondff_tpu.utils import io as bio
                 recs = bio.load_frame_records(os.path.join(
                     cfg.paths.mask_2d_dir, c,
                     f"scene0000_00.{cfg.output_format}"))
                 masks += sum(len(x["confidences"]) for x in recs)
+                hit_frames += sum(
+                    1 for x in recs if len(x["confidences"]))
             log(f"{mode} round {r + 1}: total {t['total']:.1f}s "
                 f"({ {k: round(v, 1) for k, v in t.items() if k != 'total'} },"
-                f" {masks} masks across classes)")
+                f" {masks} masks / {hit_frames} hit frames across classes)")
             if best is None or t["total"] < best["total"]:
                 best = t
         per_cs = best["total"] / len(classes)
@@ -288,6 +333,13 @@ def main():
             "s_per_class_scene_at_350_frames": round(norm, 2),
             "vs_reference_at_350_frames": round(REF_S_PER_CLASS_SCENE / norm, 2),
             "stages_s": {k: round(v, 2) for k, v in best.items()},
+            # realized workload (identical across rounds: fixed thresholds,
+            # deterministic pipeline) — lets a reader check the designed
+            # hit mix actually held
+            "masks_total": masks,
+            "hit_frames_per_class": round(hit_frames / len(classes), 1),
+            "realized_hit_frac": round(
+                hit_frames / (len(classes) * args.frames), 3),
         }
         line = json.dumps({
             "metric": f"sweep_{mode}_s_per_class_scene",
