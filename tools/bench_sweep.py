@@ -132,7 +132,11 @@ def calibrate_thresholds(seg, classes, frame_paths, hit_frac, boxes_target,
         # boundary nearest the designed quantile, so the realized hit count
         # equals the chosen k exactly
         cuts = [0, s.size] + [j for j in range(1, s.size) if s[j - 1] > s[j]]
+        designed = k
         k = min(cuts, key=lambda j: abs(j - k))
+        if k != designed:
+            log(f"calib[{c}]: separable cut {k}/{s.size} frames "
+                f"(designed {designed}; scores tie at the boundary)")
         if k <= 0:
             thr[c] = float(s[0]) + 1e-6
         elif k >= s.size:
