@@ -58,3 +58,32 @@ def test_bench_sweep_small_prints_contract_json(tmp_path):
     file_lines = [ln for ln in out_file.read_text().splitlines() if ln.strip()]
     assert [json.loads(ln) for ln in file_lines] == [
         json.loads(ln) for ln in lines]
+
+
+def test_separable_threshold_tie_aware():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bff_bench_sweep", os.path.join(REPO, "tools", "bench_sweep.py"))
+    bs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bs)
+    import numpy as np
+
+    # distinct stats: cut lands exactly on the designed quantile
+    s = np.linspace(0.0, 1.0, 16)
+    thr, k, designed = bs.separable_threshold(s, 0.25)
+    assert k == designed == 4
+    assert (s > thr).sum() == 4
+
+    # tied block straddling the designed cut: snaps to the nearest
+    # strictly-separable boundary and the realized count equals k exactly
+    s = np.array([0.9] * 6 + [0.5] * 10)
+    thr, k, designed = bs.separable_threshold(s, 0.25)
+    assert designed == 4 and k == 6
+    assert (s > thr).sum() == k
+
+    # all stats identical: only the degenerate cuts exist
+    s = np.full(8, 0.7)
+    thr, k, _ = bs.separable_threshold(s, 0.25)
+    assert k in (0, 8)
+    assert (s > thr).sum() == k

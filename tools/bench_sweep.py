@@ -124,26 +124,33 @@ def calibrate_thresholds(seg, classes, frame_paths, hit_frac, boxes_target,
                         stats[c].append(stat(sc))
     thr = {}
     for c in classes:
-        s = np.sort(np.asarray(stats[c]))[::-1]
-        k = int(round(hit_frac * s.size))
-        # tie-aware boundary: scores tie (sigmoid saturation at small scale,
-        # bf16 logit quantization at full scale), and a threshold between
-        # tied values is unrealizable — cut at the strictly-separable
-        # boundary nearest the designed quantile, so the realized hit count
-        # equals the chosen k exactly
-        cuts = [0, s.size] + [j for j in range(1, s.size) if s[j - 1] > s[j]]
-        designed = k
-        k = min(cuts, key=lambda j: abs(j - k))
+        t, k, designed = separable_threshold(stats[c], hit_frac)
         if k != designed:
-            log(f"calib[{c}]: separable cut {k}/{s.size} frames "
+            log(f"calib[{c}]: separable cut {k}/{len(stats[c])} frames "
                 f"(designed {designed}; scores tie at the boundary)")
-        if k <= 0:
-            thr[c] = float(s[0]) + 1e-6
-        elif k >= s.size:
-            thr[c] = float(s[-1]) - 1e-6
-        else:
-            thr[c] = float((s[k - 1] + s[k]) / 2.0)
+        thr[c] = t
     return thr
+
+
+def separable_threshold(stats, hit_frac):
+    """Threshold putting exactly k of the stats strictly above it, for the
+    strictly-separable cut k nearest ``round(hit_frac * n)``.
+
+    Tie-aware: stats tie (sigmoid saturation at small scale, bf16 logit
+    quantization at full scale) and a threshold between tied values is
+    unrealizable, so the cut snaps to the nearest boundary where the sorted
+    stats strictly decrease. Returns ``(threshold, k, designed_k)``."""
+    s = np.sort(np.asarray(stats))[::-1]
+    designed = int(round(hit_frac * s.size))
+    cuts = [0, s.size] + [j for j in range(1, s.size) if s[j - 1] > s[j]]
+    k = min(cuts, key=lambda j: abs(j - designed))
+    if k <= 0:
+        t = float(s[0]) + 1e-6
+    elif k >= s.size:
+        t = float(s[-1]) - 1e-6
+    else:
+        t = float((s[k - 1] + s[k]) / 2.0)
+    return t, k, designed
 
 
 def main():
