@@ -194,6 +194,10 @@ class CLIP:
                 method=CLIPModule.encode_image)
 
         self._encode_image_u8_yuv = jax.jit(encode_u8_yuv)
+        # device-crop programs (encode_image_boxes), keyed on
+        # (mode, K bucket, source shape, frame_hw, det_hw)
+        self._crop_progs = {}
+        self._row_take = jax.jit(lambda x, i: x[i])
 
     @classmethod
     def create(cls, name_or_cfg="ViT-L/14", seed: int = 0, dtype=jnp.float32,
@@ -228,6 +232,66 @@ class CLIP:
         crops are normalize-wrapped sawtooths where chroma subsampling would
         not be near-lossless, so they stay dense)."""
         return self._encode_image_u8_yuv(self.params, jnp.asarray(packed, jnp.uint8))
+
+    def encode_image_boxes(self, frames_dev, frame_idx, boxes, mode: str,
+                           frame_hw, det_hw=None, det_mean=None,
+                           det_std=None):
+        """Device-crop CLIP scoring: cut + resize each box crop ON DEVICE
+        from already-uploaded frame buffers (core/crop_resize.py) and encode
+        — only box coordinates cross the link, instead of finished pixel
+        crops (the fast variant's hit regime and the fused sweep's replay
+        phase are link-bound, ARCHITECTURE.md).
+
+        frames_dev: (B, H, W, 3) uint8 device frames; frame_idx: (K,) row of
+        each crop's frame; boxes: (K, 4) f32 xyxy in ``frame_hw`` coords.
+        ``mode`` is 'yolo' (wrap quirk on the raw buffer) or 'gdino' (device
+        resize to ``det_hw`` + ImageNet LUT-wrap arithmetic with
+        ``det_mean``/``det_std``). Returns (feats_dev, n) like the upload
+        path (_clip_sims_dispatch); crop count bucketed to the next power of
+        two for program reuse, pad rows encode zero crops.
+        """
+        from beyondff_tpu.core import crop_resize as _cr
+
+        n = len(boxes)
+        k = 1
+        while k < n:
+            k *= 2
+        boxes_p = np.zeros((k, 4), np.float32)
+        boxes_p[:n] = np.asarray(boxes, np.float32)
+        idx_p = np.zeros((k,), np.int32)
+        idx_p[:n] = np.asarray(frame_idx, np.int32)
+        valid = np.zeros((k,), bool)
+        valid[:n] = True
+        src = self._row_take(frames_dev, idx_p)  # (K, H, W, 3) on device
+        h, w = int(src.shape[1]), int(src.shape[2])
+        key = (mode, k, h, w, tuple(frame_hw),
+               tuple(det_hw) if det_hw is not None else None)
+        prog = self._crop_progs.get(key)
+        if prog is None:
+            res = self.cfg.image_resolution
+            mean = jnp.asarray(IMAGE_MEAN)
+            std = jnp.asarray(IMAGE_STD)
+            dmean = (np.asarray(det_mean, np.float32)
+                     if det_mean is not None else None)
+            dstd = (np.asarray(det_std, np.float32)
+                    if det_std is not None else None)
+
+            def run(p, s, b, v):
+                crops = _cr.clip_crop_batch(
+                    s, b, v, mode, tuple(frame_hw),
+                    det_hw=tuple(det_hw) if det_hw is not None else None,
+                    mean=dmean, std=dstd, n=res)
+                x = (crops / 255.0 - mean) / std
+                return self.module.apply(p, x, method=CLIPModule.encode_image)
+
+            prog = jax.jit(run)
+            self._crop_progs[key] = prog
+        feats = prog(self.params, src, boxes_p, valid)
+        try:
+            feats.copy_to_host_async()
+        except AttributeError:
+            pass
+        return feats, n
 
     def encode_text(self, tokens) -> jnp.ndarray:
         return self._encode_text(self.params, jnp.asarray(tokens, jnp.int32))

@@ -572,6 +572,18 @@ class Segmentor2D:
         bu_mode = os.environ.get("BFF_SEG2D_BATCH_UPLOAD", "auto")
         batch_upload = device_frames and (
             two_tier if bu_mode == "auto" else bu_mode == "1")
+        # Device-side CLIP crops (BFF_CLIP_DEVICE_CROPS=1, default off): the
+        # crop filter cuts + resizes box crops ON DEVICE from the SAM-scale
+        # frame buffers (core/crop_resize.py), so only box coordinates cross
+        # the link instead of finished pixel crops — aimed at the link-bound
+        # regimes (fast-variant hit, fused-sweep replay). Crop source becomes
+        # the device buffer (the single-upload deviation class, PARITY.md)
+        # instead of the host frame, and the resize runs f32 vs cv2's 11-bit
+        # fixed point (±1 LSB; test-pinned in tests/test_crop_resize.py).
+        device_crops = (device_frames
+                        and os.environ.get("BFF_CLIP_DEVICE_CROPS", "0") == "1"
+                        and self.clip is not None
+                        and hasattr(self.clip, "encode_image_boxes"))
         if device_frames:
             from beyondff_tpu.core import color as _color
 
@@ -947,16 +959,40 @@ class Segmentor2D:
                     embs = encode_banked(fids, idx, enc_input)
             feats_dev = n_crops = counts = None
             if self.clip is not None and d.filter_with_clip:
-                with _span("crop_build"):
-                    crops: List[np.ndarray] = []
-                    counts = []
-                    for i in idx:
-                        c = self._clip_crops(smalls[i], pre[i][0], frame_hw)
-                        crops.extend(c)
-                        counts.append(len(c))
-                if crops:
-                    with _span("clip_dispatch"):
-                        feats_dev, n_crops = self._clip_sims_dispatch(crops)
+                if device_crops:
+                    with _span("crop_build"):
+                        counts = [len(pre[i][0]) for i in idx]
+                        boxes_cat = np.concatenate(
+                            [pre[i][0] for i in idx]).astype(np.float32)
+                        fpos = np.repeat(
+                            np.arange(len(idx), dtype=np.int32), counts)
+                    if boxes_cat.shape[0]:
+                        with _span("clip_dispatch"):
+                            if d.kind == "yolo_world":
+                                feats_dev, n_crops = \
+                                    self.clip.encode_image_boxes(
+                                        enc_input(idx), fpos, boxes_cat,
+                                        "yolo", frame_hw)
+                            else:
+                                from beyondff_tpu.models.gdino.model import (
+                                    IMAGE_MEAN as _GM, IMAGE_STD as _GS)
+
+                                feats_dev, n_crops = \
+                                    self.clip.encode_image_boxes(
+                                        enc_input(idx), fpos, boxes_cat,
+                                        "gdino", frame_hw, det_hw=det_hw,
+                                        det_mean=_GM, det_std=_GS)
+                else:
+                    with _span("crop_build"):
+                        crops: List[np.ndarray] = []
+                        counts = []
+                        for i in idx:
+                            c = self._clip_crops(smalls[i], pre[i][0], frame_hw)
+                            crops.extend(c)
+                            counts.append(len(c))
+                    if crops:
+                        with _span("clip_dispatch"):
+                            feats_dev, n_crops = self._clip_sims_dispatch(crops)
             bq.append((fids, smalls, input_hw, enc_input, idx, pre,
                        embs, feats_dev, n_crops, counts))
 

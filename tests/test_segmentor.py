@@ -956,3 +956,57 @@ def test_run_classes_class_thresholds(tmp_path):
     fused_miss = bio.load_frame_records(os.path.join(
         cfg.paths.mask_2d_dir, "towel", f"scene0000_00.{cfg.output_format}"))
     assert len(fused_hit) > 0 and len(fused_miss) == 0
+
+
+@pytest.mark.parametrize("kind", ["gdino", "yolo_world"])
+def test_device_crops_match_host_crops(tmp_path, monkeypatch, kind):
+    """BFF_CLIP_DEVICE_CROPS=1 (box crops cut + resized on device from the
+    SAM-scale frame buffers, core/crop_resize.py) must keep the pipeline's
+    records aligned with the host crop chain: identical frames, labels and
+    masks; confidences (CLIP sims) within the f32-vs-cv2 resize tolerance.
+    Frames at the SAM resolution with BFF_SEG2D_YUV=0 make the crop SOURCE
+    identical, so the comparison isolates the device resize arithmetic."""
+    import cv2
+
+    rng = np.random.default_rng(47)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    for i in range(4):
+        # smooth content: keeps cv2-fixed-point-vs-f32 differences sub-LSB
+        base = rng.integers(0, 255, (8, 8, 3), np.uint8)
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    cv2.resize(base, (64, 64), interpolation=cv2.INTER_CUBIC),
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+    # max_detections above any detection count: _cap_detections sorts by
+    # confidence (= CLIP sims after the filter), and near-tied sims reorder
+    # between the two crop paths — capping off keeps records order-aligned
+    det = {"box_threshold": -1.0 if kind == "yolo_world" else 0.0,
+           "must_match_query": False, "similarity_threshold": -10.0,
+           "max_detections": 32, "dtype": "float32", "frame_batch": 2,
+           "filter_with_clip": True}
+    if kind == "yolo_world":
+        det["kind"] = "yolo_world"
+    cfg = Config.from_dict({
+        "paths": {"scene_2d_dir": str(tmp_path)},
+        "frames": {"width_2d": 64, "height_2d": 64, "downsample_ratio": 1},
+        "detector": det,
+    })
+    seg = Segmentor2D(cfg)
+
+    monkeypatch.setenv("BFF_SEG2D_YUV", "0")
+    if kind == "yolo_world":
+        # force two-tier so the lazy SAM-scale buffer is the crop source
+        monkeypatch.setenv("BFF_SEG2D_TWO_TIER", "1")
+    monkeypatch.setenv("BFF_CLIP_DEVICE_CROPS", "0")
+    host = seg.process_scene("scene0000_00", "clothes")
+    monkeypatch.setenv("BFF_CLIP_DEVICE_CROPS", "1")
+    dev = seg.process_scene("scene0000_00", "clothes")
+
+    assert len(host) == len(dev) > 0
+    for a, b in zip(host, dev):
+        assert a["frame_id"] == b["frame_id"]
+        assert a["labels"] == b["labels"]
+        np.testing.assert_array_equal(a["segmented_frame_masks"],
+                                      b["segmented_frame_masks"])
+        np.testing.assert_allclose(a["confidences"], b["confidences"],
+                                   atol=0.05)
