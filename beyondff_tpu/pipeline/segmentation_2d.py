@@ -572,18 +572,26 @@ class Segmentor2D:
         bu_mode = os.environ.get("BFF_SEG2D_BATCH_UPLOAD", "auto")
         batch_upload = device_frames and (
             two_tier if bu_mode == "auto" else bu_mode == "1")
-        # Device-side CLIP crops (BFF_CLIP_DEVICE_CROPS=1, default off): the
-        # crop filter cuts + resizes box crops ON DEVICE from the SAM-scale
-        # frame buffers (core/crop_resize.py), so only box coordinates cross
-        # the link instead of finished pixel crops — aimed at the link-bound
-        # regimes (fast-variant hit, fused-sweep replay). Crop source becomes
-        # the device buffer (the single-upload deviation class, PARITY.md)
+        # Device-side CLIP crops (BFF_CLIP_DEVICE_CROPS=auto/1/0): the crop
+        # filter cuts + resizes box crops ON DEVICE from the SAM-scale frame
+        # buffers (core/crop_resize.py), so only box coordinates cross the
+        # link instead of finished pixel crops. Crop source becomes the
+        # device buffer (the single-upload deviation class, PARITY.md)
         # instead of the host frame, and the resize runs f32 vs cv2's 11-bit
         # fixed point (±1 LSB; test-pinned in tests/test_crop_resize.py).
+        # Measured paired A/Bs (tools/bench_fast_ab.py, real chip): auto
+        # enables it exactly where it won — the fast variant's LINK-bound
+        # hit regime (9.61 -> 11.40 f/s, +19%) and the fused sweep's replay
+        # passes (32.4 -> 36.5 class-f/s, +13%); GDINO's classic hit regime
+        # measured dead-neutral (6.16 vs 6.18 f/s, chip-bound), so it keeps
+        # the bit-exact host LUT chain there.
+        dc_mode = os.environ.get("BFF_CLIP_DEVICE_CROPS", "auto")
         device_crops = (device_frames
-                        and os.environ.get("BFF_CLIP_DEVICE_CROPS", "0") == "1"
                         and self.clip is not None
-                        and hasattr(self.clip, "encode_image_boxes"))
+                        and hasattr(self.clip, "encode_image_boxes")
+                        and ((d.kind == "yolo_world" or group
+                              or detections_override is not None)
+                             if dc_mode == "auto" else dc_mode == "1"))
         if device_frames:
             from beyondff_tpu.core import color as _color
 

@@ -595,8 +595,17 @@ def test_detections_override_matches_normal(tmp_path, monkeypatch):
     """The fused-caption building blocks compose to the classic result: a
     demux pass whose single span covers the WHOLE caption records exactly
     the detections predict_finalize would keep, and replaying them through
-    detections_override (no detector) emits byte-identical records."""
+    detections_override (no detector) emits byte-identical records.
+
+    Crop transport is pinned to the host chain for BOTH passes: the auto
+    default enables device-side CLIP crops only in override/demux passes,
+    and the device resize's ±LSB sim shifts reorder the max_detections cap
+    (a documented transport deviation, PARITY.md) — this test pins the
+    demux/override MECHANICS, so both passes must share one crop path
+    (device-vs-host crop equivalence is test_device_crops_match_host_crops)."""
     import cv2
+
+    monkeypatch.setenv("BFF_CLIP_DEVICE_CROPS", "0")
 
     rng = np.random.default_rng(41)
     scene = tmp_path / "scene0000_00" / "color"

@@ -245,7 +245,16 @@ def main():
             seg.process_scene("scene0000_00", classes[0])
             print(f"# warmup {time.time() - t0:.1f}s", flush=True)
 
-            best = {"perclass": 0.0, "fused": 0.0}
+            # with BFF_FAST_KNOB set, the FUSED pass runs once per knob
+            # variant each round (interleaved, like knob-sweep mode) so
+            # replay-phase knobs (e.g. BFF_CLIP_DEVICE_CROPS) A/B inside one
+            # process against link drift; the per-class baseline runs once.
+            knob = os.environ.get("BFF_FAST_KNOB")
+            variants = (os.environ.get("BFF_FAST_VARIANTS", "1,0").split(",")
+                        if knob else [None])
+            fused_keys = [f"fused[{knob}={v}]" if knob else "fused"
+                          for v in variants]
+            best = {"perclass": 0.0, **{k: 0.0 for k in fused_keys}}
             masks = {}
             for p in range(passes):
                 # A: per-class banked loop (the existing run_classes pattern)
@@ -267,34 +276,43 @@ def main():
 
                 # B: fused demux + COMBINED replay (the run_classes pattern:
                 # one pipeline pass serves the whole group's replays)
-                bank = {}
-                t0 = time.time()
-                n_masks = 0
-                for group, caption, spans in groups:
-                    dets = {}
-                    thr = [thr_fused[c] for c in group]
-                    seg.process_scene("scene0000_00", caption,
-                                      frame_bank=bank,
-                                      demux=(group, spans, dets, thr))
-                    tables = {c: {fid: det for (cc, fid), det in dets.items()
-                                  if cc == c} for c in group}
-                    by_class = seg.process_scene(
-                        "scene0000_00", caption, frame_bank=bank,
-                        override_groups=tables)
-                    for recs in by_class.values():
-                        n_masks += sum(len(r["confidences"]) for r in recs)
-                dt = time.time() - t0
-                fps = n_frames * n_classes / dt
-                best["fused"] = max(best["fused"], fps)
-                masks["fused"] = n_masks
-                print(f"  pass{p} {regime} [fused] {dt:.2f}s = "
-                      f"{fps:.2f} class-f/s ({n_masks} masks)", flush=True)
-            print(f"{regime}-regime fused x{n_classes} classes best-of-"
-                  f"{passes}: perclass {best['perclass']:.2f} vs fused "
-                  f"{best['fused']:.2f} class-f/s -> "
-                  f"x{best['fused'] / max(best['perclass'], 1e-9):.2f} "
-                  f"(masks {masks.get('perclass')} vs {masks.get('fused')})",
-                  flush=True)
+                for v, fkey in zip(variants, fused_keys):
+                    if knob:
+                        os.environ[knob] = v
+                    bank = {}
+                    t0 = time.time()
+                    n_masks = 0
+                    for group, caption, spans in groups:
+                        dets = {}
+                        thr = [thr_fused[c] for c in group]
+                        seg.process_scene("scene0000_00", caption,
+                                          frame_bank=bank,
+                                          demux=(group, spans, dets, thr))
+                        tables = {c: {fid: det
+                                      for (cc, fid), det in dets.items()
+                                      if cc == c} for c in group}
+                        by_class = seg.process_scene(
+                            "scene0000_00", caption, frame_bank=bank,
+                            override_groups=tables)
+                        for recs in by_class.values():
+                            n_masks += sum(len(r["confidences"])
+                                           for r in recs)
+                    dt = time.time() - t0
+                    fps = n_frames * n_classes / dt
+                    best[fkey] = max(best[fkey], fps)
+                    masks[fkey] = n_masks
+                    print(f"  pass{p} {regime} [{fkey}] {dt:.2f}s = "
+                          f"{fps:.2f} class-f/s ({n_masks} masks)",
+                          flush=True)
+            if knob:
+                os.environ.pop(knob, None)
+            for fkey in fused_keys:
+                print(f"{regime}-regime fused x{n_classes} classes best-of-"
+                      f"{passes}: perclass {best['perclass']:.2f} vs "
+                      f"{fkey} {best[fkey]:.2f} class-f/s -> "
+                      f"x{best[fkey] / max(best['perclass'], 1e-9):.2f} "
+                      f"(masks {masks.get('perclass')} vs {masks.get(fkey)})",
+                      flush=True)
 
         if "knob" not in modes:
             continue
