@@ -41,6 +41,9 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.bff_rle_encode.restype = ctypes.c_int64
     lib.bff_decode_depth.restype = ctypes.c_int
     lib.bff_decode_depth_batch.restype = ctypes.c_int
+    if hasattr(lib, "bff_jpeg_info"):
+        lib.bff_jpeg_info.restype = ctypes.c_int
+        lib.bff_jpeg_coeffs.restype = ctypes.c_int
     return lib
 
 
@@ -100,6 +103,64 @@ def decode_depth_native(path: str, depth_scale: float, out_hw: tuple) -> Optiona
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out if rc == 0 else None
+
+
+# ------------------------------------------------------------------ JPEG
+def jpeg_coeffs_native(blob: bytes) -> Optional[dict]:
+    """Entropy-decode a baseline JPEG to its quantized DCT coefficients
+    (no IDCT/color — the device finishes decoding, core/jxt.py).
+
+    Returns ``None`` when the library is unavailable or the file is not a
+    baseline JPEG (progressive, malformed, >4 components) — callers fall
+    back to a full host decode. Otherwise a dict:
+
+    - ``hw``: (height, width) pixel dims
+    - ``comps``: list per component of
+      ``{"coeffs": int16 (bh, bw, 64) natural-order blocks,
+      "samp": (Hi, Vi), "grid": (bh, bw), "qtab": int32 (64,)}``
+    """
+    lib = load_library()
+    if lib is None or not hasattr(lib, "bff_jpeg_info"):
+        return None
+    buf = np.frombuffer(blob, np.uint8)
+    info = np.zeros(32, np.int32)
+    qtabs = np.zeros(4 * 64, np.int32)
+    rc = lib.bff_jpeg_info(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(buf.size),
+        info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        qtabs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        return None
+    w, h, ncomp = int(info[0]), int(info[1]), int(info[2])
+    if ncomp < 1 or ncomp > 4:
+        return None
+    outs = []
+    ptrs = []
+    for i in range(4):
+        if i < ncomp:
+            bh, bw = int(info[8 + 5 * i]), int(info[7 + 5 * i])
+            arr = np.zeros((bh, bw, 64), np.int16)  # decoder writes nz only
+            outs.append(arr)
+            ptrs.append(arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        else:
+            ptrs.append(ctypes.POINTER(ctypes.c_int16)())
+    rc = lib.bff_jpeg_coeffs(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(buf.size), *ptrs,
+    )
+    if rc != 0:
+        return None
+    comps = []
+    for i in range(ncomp):
+        comps.append({
+            "coeffs": outs[i],
+            "samp": (int(info[4 + 5 * i]), int(info[5 + 5 * i])),
+            "grid": outs[i].shape[:2],
+            "qtab": qtabs[int(info[6 + 5 * i]) * 64:][:64].copy(),
+        })
+    return {"hw": (h, w), "comps": comps}
 
 
 def decode_depth_batch_native(paths: List[str], depth_scale: float, out_hw: tuple,

@@ -207,4 +207,339 @@ int bff_decode_depth_batch(const uint8_t* blob, const int64_t* offsets, int n,
     return 0;
 }
 
+// ----------------------------------------------------------------- JPEG
+// Baseline-JPEG ENTROPY decoder: markers + Huffman + MCU loop only — no
+// IDCT, no upsampling, no color conversion. The quantized DCT coefficients
+// it recovers are the sparsest exact representation of the file's content
+// (~0.2-0.7 B/px packed for natural images vs 1.5 B/px YCrCb 4:2:0), so the
+// seg2d frame transport ships THEM across the host->TPU link and the device
+// finishes decoding (dequant + 8x8 IDCT on the MXU + chroma upsample,
+// core/jxt.py). Reference frames are exactly these files (ScanNet
+// color/*.jpg, reference tools/segmentation_2d.py:247-254).
+//
+// Supports what libjpeg writers (cv2, ScanNet exports) produce: baseline or
+// extended-sequential DCT (SOF0/SOF1), 8-bit quant tables (16-bit accepted),
+// 1-4 components, any sampling factors, restart markers, interleaved scans
+// (plus single-component scans for grayscale). Progressive returns an error
+// and the caller falls back to the YCrCb transport.
+namespace {
+
+struct HuffTable {
+    // JPEG spec F.2.2.3 decode tables
+    int32_t mincode[17];
+    int32_t maxcode[18];  // maxcode[l] = -1 when no codes of length l
+    int32_t valptr[17];
+    uint8_t huffval[256];
+    bool defined = false;
+};
+
+struct JpegBitReader {
+    const uint8_t* p;
+    const uint8_t* end;
+    uint32_t acc = 0;
+    int nbits = 0;
+    bool hit_marker = false;  // saw a non-RST, non-stuffing marker
+
+    int next_bit() {
+        if (nbits == 0) {
+            if (p >= end) { hit_marker = true; return 0; }
+            uint8_t b = *p++;
+            if (b == 0xFF) {
+                if (p >= end) { hit_marker = true; return 0; }
+                uint8_t b2 = *p++;
+                if (b2 != 0x00) {  // real marker terminates entropy data
+                    p -= 2;
+                    hit_marker = true;
+                    return 0;
+                }
+            }
+            acc = b;
+            nbits = 8;
+        }
+        nbits--;
+        return (acc >> nbits) & 1;
+    }
+
+    int receive(int s) {
+        int v = 0;
+        for (int i = 0; i < s; ++i) v = (v << 1) | next_bit();
+        return v;
+    }
+
+    void byte_align() { nbits = 0; }
+};
+
+inline int huff_decode(JpegBitReader& br, const HuffTable& t) {
+    int code = br.next_bit();
+    int l = 1;
+    while (code > t.maxcode[l]) {
+        if (++l > 16 || br.hit_marker) return -1;
+        code = (code << 1) | br.next_bit();
+    }
+    return t.huffval[t.valptr[l] + code - t.mincode[l]];
+}
+
+inline int extend(int v, int s) {
+    // F.2.2.1: map magnitude code to signed value
+    return (s && v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
+}
+
+void build_huff(const uint8_t* bits /*[16]*/, const uint8_t* vals, int nvals,
+                HuffTable* t) {
+    // generate codes in order (spec C.2) then the F.2.2.3 decode arrays
+    int code = 0, k = 0;
+    for (int l = 1; l <= 16; ++l) {
+        if (bits[l - 1] == 0) {
+            t->maxcode[l] = -1;
+            t->mincode[l] = 0;
+            t->valptr[l] = 0;
+        } else {
+            t->valptr[l] = k;
+            t->mincode[l] = code;
+            code += bits[l - 1];
+            k += bits[l - 1];
+            t->maxcode[l] = code - 1;
+        }
+        code <<= 1;
+    }
+    t->maxcode[17] = 0x7fffffff;
+    memcpy(t->huffval, vals, nvals > 256 ? 256 : nvals);
+    t->defined = true;
+}
+
+const uint8_t kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct JpegComp {
+    int id = 0, h = 1, v = 1, tq = 0;
+    int td = 0, ta = 0;       // scan Huffman table ids
+    int bw = 0, bh = 0;       // full padded block grid (MCU-aligned)
+    int dc_pred = 0;
+};
+
+struct JpegState {
+    int width = 0, height = 0, ncomp = 0, precision = 8;
+    int hmax = 1, vmax = 1, mcux = 0, mcuy = 0;
+    int restart_interval = 0;
+    JpegComp comp[4];
+    uint16_t qtab[4][64];  // natural order
+    HuffTable dc[4], ac[4];
+    const uint8_t* scan_data = nullptr;  // first entropy byte of first scan
+    int scan_ncomp = 0;
+    int scan_comp_idx[4] = {0, 0, 0, 0};
+};
+
+inline int ju16(const uint8_t* p) { return (p[0] << 8) | p[1]; }
+
+// Parse headers up to (and including) the first SOS. Returns 0 or a
+// negative error (-20 progressive / unsupported coding, -21 malformed).
+int jpeg_parse(const uint8_t* buf, int64_t size, JpegState* st) {
+    if (size < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return -21;
+    int64_t pos = 2;
+    while (pos + 4 <= size) {
+        if (buf[pos] != 0xFF) return -21;
+        uint8_t m = buf[pos + 1];
+        if (m == 0xFF) { pos++; continue; }  // fill bytes
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { pos += 2; continue; }
+        int len = ju16(buf + pos + 2);
+        if (len < 2 || pos + 2 + len > size) return -21;
+        const uint8_t* d = buf + pos + 4;
+        int dlen = len - 2;
+        if (m == 0xDB) {  // DQT
+            int off = 0;
+            while (off < dlen) {
+                int pq = d[off] >> 4, tq = d[off] & 15;
+                if (tq > 3) return -21;
+                off++;
+                for (int i = 0; i < 64; ++i) {
+                    int v = pq ? ju16(d + off + 2 * i) : d[off + i];
+                    st->qtab[tq][kZigzag[i]] = (uint16_t)v;
+                }
+                off += pq ? 128 : 64;
+            }
+        } else if (m == 0xC4) {  // DHT
+            int off = 0;
+            while (off + 17 <= dlen) {
+                int tc = d[off] >> 4, th = d[off] & 15;
+                if (th > 3) return -21;
+                const uint8_t* bits = d + off + 1;
+                int nv = 0;
+                for (int l = 0; l < 16; ++l) nv += bits[l];
+                if (off + 17 + nv > dlen) return -21;
+                build_huff(bits, d + off + 17, nv,
+                           tc ? &st->ac[th] : &st->dc[th]);
+                off += 17 + nv;
+            }
+        } else if (m == 0xC0 || m == 0xC1) {  // SOF0/SOF1
+            st->precision = d[0];
+            st->height = ju16(d + 1);
+            st->width = ju16(d + 3);
+            st->ncomp = d[5];
+            if (st->ncomp < 1 || st->ncomp > 4) return -21;
+            for (int i = 0; i < st->ncomp; ++i) {
+                st->comp[i].id = d[6 + 3 * i];
+                st->comp[i].h = d[7 + 3 * i] >> 4;
+                st->comp[i].v = d[7 + 3 * i] & 15;
+                st->comp[i].tq = d[8 + 3 * i];
+                if (st->comp[i].h < 1 || st->comp[i].v < 1 ||
+                    st->comp[i].h > 4 || st->comp[i].v > 4 ||
+                    st->comp[i].tq > 3)
+                    return -21;
+                if (st->comp[i].h > st->hmax) st->hmax = st->comp[i].h;
+                if (st->comp[i].v > st->vmax) st->vmax = st->comp[i].v;
+            }
+            st->mcux = (st->width + 8 * st->hmax - 1) / (8 * st->hmax);
+            st->mcuy = (st->height + 8 * st->vmax - 1) / (8 * st->vmax);
+            for (int i = 0; i < st->ncomp; ++i) {
+                st->comp[i].bw = st->mcux * st->comp[i].h;
+                st->comp[i].bh = st->mcuy * st->comp[i].v;
+            }
+        } else if (m == 0xC2 || (m >= 0xC3 && m <= 0xCF && m != 0xC4 &&
+                                 m != 0xC8 && m != 0xCC)) {
+            return -20;  // progressive / arithmetic / hierarchical
+        } else if (m == 0xDD) {  // DRI
+            st->restart_interval = ju16(d);
+        } else if (m == 0xDA) {  // SOS
+            if (st->width == 0) return -21;
+            st->scan_ncomp = d[0];
+            for (int i = 0; i < st->scan_ncomp; ++i) {
+                int cid = d[1 + 2 * i];
+                int ci = -1;
+                for (int j = 0; j < st->ncomp; ++j)
+                    if (st->comp[j].id == cid) ci = j;
+                if (ci < 0) return -21;
+                st->scan_comp_idx[i] = ci;
+                st->comp[ci].td = d[2 + 2 * i] >> 4;
+                st->comp[ci].ta = d[2 + 2 * i] & 15;
+            }
+            st->scan_data = buf + pos + 2 + len;
+            return 0;
+        } else if (m == 0xD9) {
+            return -21;  // EOI before SOS
+        }
+        pos += 2 + len;
+    }
+    return -21;
+}
+
+// Decode one block's coefficients into out[64] (natural order, quantized).
+inline bool jpeg_decode_block(JpegBitReader& br, JpegState* st, JpegComp* c,
+                              int16_t* out) {
+    const HuffTable& dct = st->dc[c->td];
+    const HuffTable& act = st->ac[c->ta];
+    if (!dct.defined || !act.defined) return false;
+    int t = huff_decode(br, dct);
+    if (t < 0 || t > 15) return false;
+    c->dc_pred += extend(br.receive(t), t);
+    out[0] = (int16_t)c->dc_pred;
+    int k = 1;
+    while (k < 64) {
+        int rs = huff_decode(br, act);
+        if (rs < 0) return false;
+        int r = rs >> 4, s = rs & 15;
+        if (s == 0) {
+            if (r != 15) break;  // EOB
+            k += 16;             // ZRL
+        } else {
+            k += r;
+            if (k > 63) return false;
+            out[kZigzag[k]] = (int16_t)extend(br.receive(s), s);
+            k++;
+        }
+        if (br.hit_marker) break;
+    }
+    return true;
+}
+
+// Entropy-decode the first scan into per-component dense coefficient grids
+// (natural order within blocks, blocks row-major over the padded grid).
+int jpeg_decode_coeffs(JpegState* st, const uint8_t* buf_end,
+                       int16_t* outs[4]) {
+    JpegBitReader br{st->scan_data, buf_end};
+    int mcus_done = 0;
+    auto handle_restart = [&]() -> bool {
+        if (st->restart_interval == 0) return true;
+        if (mcus_done % st->restart_interval != 0 || mcus_done == 0) return true;
+        br.byte_align();
+        br.hit_marker = false;
+        // skip fill bytes then the RSTn marker
+        while (br.p + 1 < br.end && br.p[0] == 0xFF &&
+               (br.p[1] >= 0xD0 && br.p[1] <= 0xD7))
+            br.p += 2;
+        for (int i = 0; i < st->ncomp; ++i) st->comp[i].dc_pred = 0;
+        return true;
+    };
+    if (st->scan_ncomp > 1) {  // interleaved
+        for (int my = 0; my < st->mcuy; ++my)
+            for (int mx = 0; mx < st->mcux; ++mx) {
+                if (!handle_restart()) return -22;
+                for (int s = 0; s < st->scan_ncomp; ++s) {
+                    JpegComp* c = &st->comp[st->scan_comp_idx[s]];
+                    for (int v = 0; v < c->v; ++v)
+                        for (int h = 0; h < c->h; ++h) {
+                            int bx = mx * c->h + h, by = my * c->v + v;
+                            int16_t* out = outs[st->scan_comp_idx[s]] +
+                                           ((int64_t)by * c->bw + bx) * 64;
+                            if (!jpeg_decode_block(br, st, c, out)) return -22;
+                        }
+                }
+                mcus_done++;
+            }
+    } else {  // single-component scan (grayscale)
+        JpegComp* c = &st->comp[st->scan_comp_idx[0]];
+        int bw = (st->width * c->h / st->hmax + 7) / 8;
+        int bh = (st->height * c->v / st->vmax + 7) / 8;
+        for (int by = 0; by < bh; ++by)
+            for (int bx = 0; bx < bw; ++bx) {
+                if (!handle_restart()) return -22;
+                int16_t* out = outs[st->scan_comp_idx[0]] +
+                               ((int64_t)by * c->bw + bx) * 64;
+                if (!jpeg_decode_block(br, st, c, out)) return -22;
+                mcus_done++;
+            }
+    }
+    return 0;
+}
+
+}  // namespace
+
+// info layout (int32): [0]=width [1]=height [2]=ncomp [3]=restart_interval,
+// then per component i<4: [4+5i]=Hi [5+5i]=Vi [6+5i]=qtab_id [7+5i]=bw
+// [8+5i]=bh. qtabs: 4 tables x 64 int32, natural order.
+int bff_jpeg_info(const uint8_t* blob, int64_t size, int32_t* info,
+                  int32_t* qtabs) {
+    JpegState st;
+    int rc = jpeg_parse(blob, size, &st);
+    if (rc != 0) return rc;
+    info[0] = st.width;
+    info[1] = st.height;
+    info[2] = st.ncomp;
+    info[3] = st.restart_interval;
+    for (int i = 0; i < 4; ++i) {
+        info[4 + 5 * i] = i < st.ncomp ? st.comp[i].h : 0;
+        info[5 + 5 * i] = i < st.ncomp ? st.comp[i].v : 0;
+        info[6 + 5 * i] = i < st.ncomp ? st.comp[i].tq : 0;
+        info[7 + 5 * i] = i < st.ncomp ? st.comp[i].bw : 0;
+        info[8 + 5 * i] = i < st.ncomp ? st.comp[i].bh : 0;
+        for (int j = 0; j < 64; ++j) qtabs[i * 64 + j] = st.qtab[i][j];
+    }
+    return 0;
+}
+
+// outs: ncomp caller-allocated int16 buffers sized bh_i*bw_i*64 and
+// ZERO-INITIALIZED (the decoder writes only nonzero/DC entries).
+int bff_jpeg_coeffs(const uint8_t* blob, int64_t size, int16_t* out0,
+                    int16_t* out1, int16_t* out2, int16_t* out3) {
+    JpegState st;
+    int rc = jpeg_parse(blob, size, &st);
+    if (rc != 0) return rc;
+    int16_t* outs[4] = {out0, out1, out2, out3};
+    for (int i = 0; i < st.scan_ncomp; ++i)
+        if (outs[st.scan_comp_idx[i]] == nullptr) return -23;
+    return jpeg_decode_coeffs(&st, blob + size, outs);
+}
+
 }  // extern "C"

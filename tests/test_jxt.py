@@ -1,0 +1,148 @@
+"""JXT (JPEG coefficient transport) tests: the C++ entropy decoder, the
+sparse wire format, the device decode (dequant + IDCT + upsample + color),
+and the device resize — all against numpy oracles and cv2's own decode of
+the same bytes (core/jxt.py, native/bff_native.cpp)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from beyondff_tpu.core import jxt
+from beyondff_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(not native.available()
+                                or native.jpeg_coeffs_native is None,
+                                reason="native runtime unavailable")
+
+
+def _structured(h, w, seed=0):
+    """Natural-image-like content: smooth fields + rectangles + mild noise
+    (uniform noise would spill to the YCrCb fallback by design)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 120 + 60 * np.sin(xx / 40) + 40 * np.cos(yy / 30)
+    img = np.stack([base, base * 0.9 + 10, base * 0.8 + 20], -1)
+    for _ in range(8):
+        x0, y0 = rng.integers(0, max(w - 20, 1)), rng.integers(0, max(h - 20, 1))
+        dw, dh = rng.integers(10, w // 2), rng.integers(10, h // 2)
+        img[y0:y0 + dh, x0:x0 + dw] = (
+            0.7 * img[y0:y0 + dh, x0:x0 + dw] + 0.3 * rng.integers(30, 220, 3))
+    img = img + rng.normal(0, 2, (h, w, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _encode(img_rgb, quality=90, **flags):
+    params = [cv2.IMWRITE_JPEG_QUALITY, quality]
+    for k, v in flags.items():
+        params += [getattr(cv2, k), v]
+    ok, enc = cv2.imencode(".jpg", cv2.cvtColor(img_rgb, cv2.COLOR_RGB2BGR),
+                           params)
+    assert ok
+    return enc.tobytes()
+
+
+def _cv2_decode(blob):
+    arr = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+    return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+
+
+@pytest.mark.parametrize("hw", [(96, 128), (97, 131)])
+def test_device_decode_matches_oracle_and_cv2(hw):
+    blob = _encode(_structured(*hw), quality=90)
+    packed = jxt.pack_file(blob)
+    assert packed is not None
+    dev = np.asarray(jxt.upload_frame(packed))
+    oracle = jxt.roundtrip_host(blob)
+    ref = _cv2_decode(blob)
+    assert dev.shape == ref.shape
+    # device == numpy oracle up to f32-vs-f64 rounding
+    assert np.abs(dev.astype(int) - oracle.astype(int)).max() <= 1
+    # exact to the FILE up to IDCT/upsample arithmetic (libjpeg integer
+    # IDCT vs float): same transport class as YCrCb 4:2:0 (PARITY.md)
+    err = np.abs(dev.astype(int) - ref.astype(int))
+    assert err.max() <= 6 and err.mean() < 1.0
+
+
+def test_wire_is_sparse_for_natural_content():
+    h, w = 96, 128
+    packed = jxt.pack_file(_encode(_structured(h, w), quality=90))
+    assert packed is not None
+    assert packed.nbytes < 1.5 * h * w  # beats the YCrCb transport
+
+
+def test_noise_spills_to_none():
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 255, (96, 128, 3), np.uint8)
+    assert jxt.pack_file(_encode(noise, quality=95)) is None
+
+
+def test_progressive_falls_back():
+    blob = _encode(_structured(64, 64), quality=90, IMWRITE_JPEG_PROGRESSIVE=1)
+    assert jxt.pack_file(blob) is None
+
+
+def test_restart_markers():
+    blob = _encode(_structured(96, 128), quality=90, IMWRITE_JPEG_RST_INTERVAL=2)
+    packed = jxt.pack_file(blob)
+    assert packed is not None
+    dev = np.asarray(jxt.upload_frame(packed))
+    err = np.abs(dev.astype(int) - _cv2_decode(blob).astype(int))
+    assert err.max() <= 6
+
+
+def test_grayscale_decodes_to_rgb():
+    g = _structured(80, 96)[:, :, 0]
+    ok, enc = cv2.imencode(".jpg", g, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    packed = jxt.pack_file(enc.tobytes())
+    assert packed is not None
+    dev = np.asarray(jxt.upload_frame(packed))
+    assert dev.shape == (80, 96, 3)
+    assert np.array_equal(dev[..., 0], dev[..., 1])
+
+
+def test_batch_matches_singles():
+    packs = [jxt.pack_file(_encode(_structured(96, 128, seed=s), quality=90))
+             for s in range(3)]
+    assert all(p is not None for p in packs)
+    batch = np.asarray(jxt.upload_frames(packs))
+    singles = np.stack([np.asarray(jxt.upload_frame(p)) for p in packs])
+    assert np.array_equal(batch, singles)
+
+
+def test_device_resize_matches_cv2():
+    img = _structured(96, 128)
+    import jax.numpy as jnp
+
+    dev = np.asarray(jxt.resize_frame(jnp.asarray(img), (48, 80)))
+    ref = cv2.resize(img, (80, 48), interpolation=cv2.INTER_LINEAR)
+    assert np.abs(dev.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_escape_values_roundtrip():
+    """Huge low-frequency coefficients exercise the int16 escape channel."""
+    h, w = 64, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # extreme-contrast smooth ramp -> large DC/low-AC values at q95
+    img = np.clip(np.stack([255 * (xx / w), 255 * (yy / h),
+                            255 * ((xx + yy) / (h + w))], -1), 0, 255
+                  ).astype(np.uint8)
+    blob = _encode(img, quality=95)
+    packed = jxt.pack_file(blob)
+    assert packed is not None
+    dev = np.asarray(jxt.upload_frame(packed))
+    oracle = jxt.roundtrip_host(blob)
+    assert np.abs(dev.astype(int) - oracle.astype(int)).max() <= 1
+
+
+def test_skip_entries_bridge_long_gaps():
+    """A frame that is one flat color except one corner -> coefficient gaps
+    far beyond 255 between nonzeros."""
+    img = np.full((128, 160, 3), 180, np.uint8)
+    img[120:, 150:] = 30
+    blob = _encode(img, quality=90)
+    packed = jxt.pack_file(blob)
+    assert packed is not None
+    dev = np.asarray(jxt.upload_frame(packed))
+    err = np.abs(dev.astype(int) - _cv2_decode(blob).astype(int))
+    assert err.max() <= 6
