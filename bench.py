@@ -103,12 +103,20 @@ def timed(name, fn, sync, iters):
     return dt
 
 
-def make_scene(root, n_frames, width, height):
-    """Synthetic scene directory of random JPEG frames (cached)."""
+def make_scene(root, n_frames, width, height, content=None):
+    """Synthetic scene directory of JPEG frames (cached).
+
+    ``content`` (or env ``BFF_BENCH_SCENE_CONTENT``): "noise" (default —
+    uniform random, the historical bench workload, comparable across rounds)
+    or "structured" (smooth fields + rectangles + mild noise at JPEG q90 —
+    natural-image-like sparsity, the workload class real ScanNet frames
+    belong to; required for the JXT coefficient transport to engage, whose
+    spill guard correctly rejects noise)."""
     import cv2
 
+    content = content or os.environ.get("BFF_BENCH_SCENE_CONTENT", "noise")
     color = os.path.join(root, "scene0000_00", "color")
-    marker = os.path.join(color, f".done_{n_frames}_{width}x{height}")
+    marker = os.path.join(color, f".done_{n_frames}_{width}x{height}_{content}")
     if os.path.exists(marker):
         # the marker alone is NOT proof: markers from other sizes survive
         # early returns, so a later rebuild at another size leaves this
@@ -122,9 +130,27 @@ def make_scene(root, n_frames, width, height):
     for f in os.listdir(color):
         os.remove(os.path.join(color, f))
     rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
     for i in range(n_frames):
-        img = rng.integers(0, 255, (height, width, 3), dtype=np.uint8)
-        cv2.imwrite(os.path.join(color, f"{i}.jpg"), img)
+        if content == "structured":
+            base = (120 + 60 * np.sin(xx / 40 + 0.37 * i)
+                    + 40 * np.cos(yy / 30 + 0.11 * i))
+            img = np.stack([base, base * 0.9 + 10, base * 0.8 + 20], -1)
+            for _ in range(8):
+                x0 = int(rng.integers(0, max(width - 20, 1)))
+                y0 = int(rng.integers(0, max(height - 20, 1)))
+                dw = int(rng.integers(10, width // 2))
+                dh = int(rng.integers(10, height // 2))
+                img[y0:y0 + dh, x0:x0 + dw] = (
+                    0.7 * img[y0:y0 + dh, x0:x0 + dw]
+                    + 0.3 * rng.integers(30, 220, 3))
+            img = np.clip(img + rng.normal(0, 2, img.shape), 0,
+                          255).astype(np.uint8)
+            cv2.imwrite(os.path.join(color, f"{i}.jpg"), img,
+                        [cv2.IMWRITE_JPEG_QUALITY, 90])
+        else:
+            img = rng.integers(0, 255, (height, width, 3), dtype=np.uint8)
+            cv2.imwrite(os.path.join(color, f"{i}.jpg"), img)
     open(marker, "w").close()
 
 

@@ -291,8 +291,7 @@ def upload_frames(packs: List[JxtPacked]):
 
 
 # ------------------------------------------------------------- device resize
-@lru_cache(maxsize=32)
-def _resize_jit(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]):
+def _resize_fn(dst_hw: Tuple[int, int]):
     import jax
     import jax.numpy as jnp
 
@@ -303,7 +302,14 @@ def _resize_jit(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]):
                              method="bilinear", antialias=False)
         return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)
 
-    return jax.jit(fn)
+    return fn
+
+
+@lru_cache(maxsize=32)
+def _resize_jit(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]):
+    import jax
+
+    return jax.jit(_resize_fn(dst_hw))
 
 
 def resize_frame(dev_rgb, dst_hw: Tuple[int, int]):
@@ -312,6 +318,21 @@ def resize_frame(dev_rgb, dst_hw: Tuple[int, int]):
     parity class of core/crop_resize.py). Derives detector-/SAM-scale
     buffers from one native-resolution JXT upload."""
     return _resize_jit(tuple(dev_rgb.shape[:2]), tuple(dst_hw))(dev_rgb)
+
+
+@lru_cache(maxsize=32)
+def _resize_batch_jit(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]):
+    import jax
+
+    return jax.jit(jax.vmap(_resize_fn(dst_hw)))
+
+
+def resize_frames(dev_rgb_batch, dst_hw: Tuple[int, int]):
+    """Batched :func:`resize_frame` — (B, H, W, 3) uint8 device batch ->
+    (B, th, tw, 3) in one dispatch (the batched-upload loader's derivation
+    of the detector-scale chunk from a JXT native-resolution batch)."""
+    return _resize_batch_jit(tuple(dev_rgb_batch.shape[1:3]),
+                             tuple(dst_hw))(dev_rgb_batch)
 
 
 def _np_bilinear(p: np.ndarray, he: int, we: int) -> np.ndarray:

@@ -594,6 +594,29 @@ class Segmentor2D:
                              if dc_mode == "auto" else dc_mode == "1"))
         if device_frames:
             from beyondff_tpu.core import color as _color
+        # JXT coefficient transport (BFF_SEG2D_JXT=auto/1/0, core/jxt.py):
+        # frames whose source files are baseline JPEGs at the configured
+        # frame size ship as sparse quantized DCT coefficients (~0.4-0.7
+        # B/px measured on natural frames vs 1.5 B/px YCrCb) and finish
+        # decoding ON DEVICE; the detector-scale and SAM-scale buffers BOTH
+        # derive from that one native-resolution upload by device resize, so
+        # two-tier hit frames stop paying their second (larger) upload
+        # entirely. Requires device crops (host pixels never materialize on
+        # the jxt path); frames the spill guard rejects (noise-like content,
+        # progressive files, mismatched dims) fall back per frame to the
+        # YCrCb path. "auto" follows device crops — the link-bound regimes
+        # (fast-variant two-tier, fused replays); default opt-in pending
+        # on-chip paired measurement.
+        jxt_mode = os.environ.get("BFF_SEG2D_JXT", "0")
+        use_jxt = (device_frames and device_crops
+                   and jxt_mode in ("1", "auto"))
+        if use_jxt:
+            from beyondff_tpu.core import jxt as _jxt
+
+            # SAM-scale dims of a frame_hw frame (models/sam.py scale_frame)
+            _s = getattr(self.sam.cfg, "img_size", 1024) / max(frame_hw)
+            sam_hw = (int(frame_hw[0] * _s + 0.5), int(frame_hw[1] * _s + 0.5))
+        jxt_native: Dict = {}  # fid -> native-res device RGB (until stage_a)
 
         bank = frame_bank  # {("img"|"det"|"sam", fid): buffer} or None
 
@@ -606,8 +629,48 @@ class Segmentor2D:
                 bank[("img", fid)] = img
             return img
 
+        def _jxt_pack(fid):
+            """Sparse-pack a frame's JPEG file for the coefficient transport;
+            None -> this frame falls back to the host decode + YCrCb path
+            (spill guard, non-baseline file, or dims != the configured frame
+            size — the host path's PIL resize has no device equivalent)."""
+            path = os.path.join(p.scene_2d_dir, scene_id, "color", f"{fid}.jpg")
+            try:
+                with open(path, "rb") as f:
+                    packed = _jxt.pack_file(f.read())
+            except (OSError, ValueError):
+                return None
+            if packed is not None and (packed.geometry.h,
+                                       packed.geometry.w) != frame_hw:
+                return None
+            return packed
+
         def load(entry):
             fid = fid_of(entry)
+            if use_jxt:
+                banked = (bank.get(("det" if two_tier else "sam", fid))
+                          if bank is not None else None)
+                if banked is not None:
+                    if two_tier:
+                        return entry, None, None, banked
+                    return entry, None, bank[("sam_host", fid)][1], banked
+                packed = _jxt_pack(fid)
+                if packed is not None:
+                    # upload + device decode start here (prefetch thread)
+                    native = _jxt.upload_frame(packed)
+                    if two_tier:
+                        dev = _jxt.resize_frame(native, det_hw)
+                        if bank is not None:
+                            bank[("det", fid)] = dev
+                        # stage_a derives the SAM-scale buffer for hit
+                        # frames from the retained native (no second upload)
+                        jxt_native[fid] = native
+                        return entry, None, None, dev
+                    dev = _jxt.resize_frame(native, sam_hw)
+                    if bank is not None:
+                        bank[("sam", fid)] = dev
+                        bank[("sam_host", fid)] = (None, sam_hw)
+                    return entry, None, sam_hw, dev
             img = _load_img(fid)
             if device_frames:
                 if two_tier:
@@ -640,9 +703,35 @@ class Segmentor2D:
             """Batched-upload loader: decode + scale a whole detection batch
             on the host, then ship it as ONE device transfer. Banked chunks
             restack the per-frame buffers on device (no link traffic)."""
-            imgs = [_load_img(fid_of(e)) for e in fids]
             key = "det" if two_tier else "sam"
-            if bank is not None and all((key, fid_of(e)) in bank for e in fids):
+            all_banked = bank is not None and all(
+                (key, fid_of(e)) in bank for e in fids)
+            if use_jxt and not all_banked:
+                # coefficient transport for the whole chunk: one batched
+                # sparse upload, device decode, batched device resize. Any
+                # frame the spill guard rejects drops the chunk to the host
+                # path (mixed chunks would split the single transfer anyway).
+                packs = [_jxt_pack(fid_of(e)) for e in fids]
+                if all(pk is not None for pk in packs):
+                    natives = _jxt.upload_frames(packs)
+                    if two_tier:
+                        dev = _jxt.resize_frames(natives, det_hw)
+                        for i, e in enumerate(fids):
+                            jxt_native[fid_of(e)] = natives[i]
+                            if bank is not None:
+                                bank[("det", fid_of(e))] = dev[i]
+                        return list(fids), [None] * len(fids), None, dev
+                    dev = _jxt.resize_frames(natives, sam_hw)
+                    if bank is not None:
+                        for i, e in enumerate(fids):
+                            bank[("sam", fid_of(e))] = dev[i]
+                            bank[("sam_host", fid_of(e))] = (None, sam_hw)
+                    return list(fids), [None] * len(fids), sam_hw, dev
+            # the jxt path never materializes host pixels; don't decode them
+            # just to satisfy the (unused-there) smalls slots
+            imgs = ([None] * len(fids) if use_jxt and all_banked
+                    else [_load_img(fid_of(e)) for e in fids])
+            if all_banked:
                 dev = _stack_jit(len(fids))(
                     *[bank[(key, fid_of(e))] for e in fids])
                 if two_tier:
@@ -866,7 +955,17 @@ class Segmentor2D:
                 encode_banked(fids, hit_idx, enc_input)
 
         def stage_a():
-            fids, smalls, input_hw, devs, handle = pending.pop(0)
+            batch = pending.pop(0)
+            try:
+                _stage_a(*batch)
+            finally:
+                if use_jxt:
+                    # native-resolution jxt buffers only serve this batch's
+                    # SAM-scale derivation; drop them promptly (~3.8 MB/frame)
+                    for e in batch[0]:
+                        jxt_native.pop(fid_of(e), None)
+
+        def _stage_a(fids, smalls, input_hw, devs, handle):
             if demux is not None:
                 demux_stage(fids, devs, handle)
                 return
@@ -890,7 +989,64 @@ class Segmentor2D:
                 # detector ran from the smaller detector-scale buffer);
                 # misses never upload SAM-scale at all
                 with _span("sam_upload"):
-                    if batch_upload and bank is None:
+                    if use_jxt:
+                        # derive SAM-scale buffers ON DEVICE from the
+                        # retained native-resolution jxt frames — hit frames
+                        # pay no second upload. Frames without a native
+                        # (banked det from an earlier class/pass) re-pack
+                        # their file's coefficients (~0.5 MB vs ~1.7 MB
+                        # YCrCb); spill frames take the host chain.
+                        sam_devs = {}
+                        jx, host_missing = [], []
+                        for i in idx:
+                            fid = fid_of(fids[i])
+                            cached = (bank.get(("sam", fid))
+                                      if bank is not None else None)
+                            if cached is not None:
+                                sam_devs[i] = cached
+                                input_hw = bank[("sam_host", fid)][1]
+                            elif fid in jxt_native:
+                                jx.append(i)
+                            else:
+                                packed = _jxt_pack(fid)
+                                if packed is not None:
+                                    jxt_native[fid] = _jxt.upload_frame(packed)
+                                    jx.append(i)
+                                else:
+                                    host_missing.append(i)
+                        if jx:
+                            nat = _stack_jit(len(jx))(
+                                *[jxt_native[fid_of(fids[i])] for i in jx])
+                            res = _jxt.resize_frames(nat, sam_hw)
+                            input_hw = sam_hw
+                            for j, i in enumerate(jx):
+                                fid = fid_of(fids[i])
+                                sam_devs[i] = res[j]
+                                if bank is not None:
+                                    bank[("sam", fid)] = res[j]
+                                    bank[("sam_host", fid)] = (None, sam_hw)
+                        if host_missing:
+                            pairs = [self.sam.scale_frame(
+                                smalls[i] if smalls[i] is not None
+                                else _load_img(fid_of(fids[i])))
+                                for i in host_missing]
+                            input_hw = pairs[0][1]
+                            ups = (_color.upload_frames(
+                                [pr[0] for pr in pairs], yuv=yuv)
+                                if batch_upload and len(pairs) > 1 else
+                                [_color.upload_frame(pr[0], yuv=yuv)
+                                 for pr in pairs])
+                            for j, i in enumerate(host_missing):
+                                fid = fid_of(fids[i])
+                                sam_devs[i] = ups[j]
+                                if bank is not None:
+                                    bank[("sam", fid)] = ups[j]
+                                    bank[("sam_host", fid)] = pairs[j]
+
+                        def enc_input(indices):
+                            return _stack_jit(len(indices))(
+                                *[sam_devs[i] for i in indices])
+                    elif batch_upload and bank is None:
                         pairs = [self.sam.scale_frame(smalls[i]) for i in idx]
                         input_hw = pairs[0][1]
                         sam_batch = _color.upload_frames(

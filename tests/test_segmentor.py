@@ -1003,6 +1003,11 @@ def test_device_crops_match_host_crops(tmp_path, monkeypatch, kind):
     seg = Segmentor2D(cfg)
 
     monkeypatch.setenv("BFF_SEG2D_YUV", "0")
+    # pin the frame transport too: JXT auto-enables exactly where device
+    # crops are on, and this smooth content packs — without the pin the
+    # two runs would compare different SAM buffers, not the crop arithmetic
+    # (JXT-vs-host equivalence is test_jxt_transport_matches_host_chain)
+    monkeypatch.setenv("BFF_SEG2D_JXT", "0")
     if kind == "yolo_world":
         # force two-tier so the lazy SAM-scale buffer is the crop source
         monkeypatch.setenv("BFF_SEG2D_TWO_TIER", "1")
@@ -1019,3 +1024,83 @@ def test_device_crops_match_host_crops(tmp_path, monkeypatch, kind):
                                       b["segmented_frame_masks"])
         np.testing.assert_allclose(a["confidences"], b["confidences"],
                                    atol=0.05)
+
+
+@pytest.mark.parametrize("tier_batch", [("1", "1"), ("1", "0"), ("0", "0")])
+def test_jxt_transport_matches_host_chain(tmp_path, monkeypatch, tier_batch):
+    """BFF_SEG2D_JXT=1 (JPEG coefficient transport: sparse DCT upload, device
+    IDCT, detector-/SAM-scale buffers derived by device resize) must emit the
+    same detections as the host decode + YCrCb chain, with masks equal up to
+    the documented transport deviation (float vs libjpeg integer IDCT, device
+    vs cv2 resize — PARITY.md transport class). Parametrized over the
+    two-tier x batch-upload loader variants (load_chunk batched natives,
+    per-frame load, and the non-two-tier direct SAM derivation)."""
+    import cv2
+
+    from beyondff_tpu.core import jxt
+    from beyondff_tpu.utils import native
+
+    if not native.available() or native.jpeg_coeffs_native is None:
+        pytest.skip("native runtime unavailable")
+
+    two_tier, batch_upload = tier_batch
+    rng = np.random.default_rng(7)
+    scene = tmp_path / "scene0000_00" / "color"
+    scene.mkdir(parents=True)
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for i in range(5):  # frame_batch=2 -> tail chunk of 1
+        base = 120 + 60 * np.sin(xx / 9 + i) + 40 * np.cos(yy / 7)
+        img = np.clip(np.stack([base, base * 0.9 + 10, base * 0.8 + 20], -1)
+                      + rng.normal(0, 2, (h, w, 3)), 0, 255).astype(np.uint8)
+        cv2.imwrite(str(scene / f"{i}.jpg"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 90])
+    # precondition: this content must actually take the coefficient path,
+    # and the jxt-derived buffer must sit within the transport deviation
+    # class of the host chain (decode + resize, a few LSB)
+    with open(scene / "0.jpg", "rb") as f:
+        packed = jxt.pack_file(f.read())
+    assert packed is not None
+    native_dev = np.asarray(jxt.upload_frame(packed))
+    host_img = cv2.cvtColor(cv2.imread(str(scene / "0.jpg")), cv2.COLOR_BGR2RGB)
+    assert np.abs(native_dev.astype(int) - host_img.astype(int)).max() <= 6
+
+    cfg = Config.from_dict({
+        "paths": {"scene_2d_dir": str(tmp_path)},
+        "frames": {"width_2d": w, "height_2d": h, "downsample_ratio": 1},
+        "detector": {"kind": "yolo_world", "box_threshold": -1.0,
+                     "must_match_query": False, "similarity_threshold": -10.0,
+                     "max_detections": 8, "dtype": "float32", "frame_batch": 2,
+                     "filter_with_clip": True},
+    })
+    seg = Segmentor2D(cfg)
+
+    monkeypatch.setenv("BFF_SEG2D_TWO_TIER", two_tier)
+    monkeypatch.setenv("BFF_SEG2D_BATCH_UPLOAD", batch_upload)
+    monkeypatch.setenv("BFF_CLIP_DEVICE_CROPS", "1")
+    monkeypatch.setenv("BFF_SEG2D_JXT", "0")
+    host = seg.process_scene("scene0000_00", "clothes")
+    monkeypatch.setenv("BFF_SEG2D_JXT", "1")
+    jx = seg.process_scene("scene0000_00", "clothes")
+
+    assert len(host) == len(jx) > 0
+    ious = []
+    for a, b in zip(host, jx):
+        assert a["frame_id"] == b["frame_id"]
+        assert a["labels"] == b["labels"]
+        assert a["segmented_frame_masks"].shape == b["segmented_frame_masks"].shape
+        ma = a["segmented_frame_masks"].reshape(len(a["labels"]), -1)
+        mb = b["segmented_frame_masks"].reshape(len(b["labels"]), -1)
+        inter = (ma & mb).sum(-1)
+        union = (ma | mb).sum(-1)
+        ious.append(np.where(union == 0, 1.0, inter / np.maximum(union, 1)))
+        np.testing.assert_allclose(a["confidences"], b["confidences"],
+                                   atol=0.05)
+    ious = np.concatenate(ious)
+    # random-init decoders have large near-threshold level sets, so a
+    # few-LSB input deviation can flip a band of pixels on an unlucky
+    # mask — the buffer-closeness precondition above pins the transport;
+    # the IoU floors guard against coordinate/indexing bugs (those
+    # produce ~0 overlap, not a noisy boundary)
+    assert ious.mean() > 0.95 and ious.min() > 0.5, ious
