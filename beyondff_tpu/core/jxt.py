@@ -117,23 +117,36 @@ def pack(dec: dict, max_bytes: Optional[int] = None) -> Optional[JxtPacked]:
                     for c in comps),
     )
     flat = np.concatenate([c["coeffs"].reshape(-1) for c in comps])
-    pos = np.flatnonzero(flat)
-    vals = flat[pos]
-    # cheap early spill: >=2 B per nonzero
-    if 2 * pos.size >= max_bytes:
-        return None
+    from beyondff_tpu.utils import native as _native
 
-    # delta encode; bridge gaps > 255 with zero-valued skip entries
-    deltas = np.diff(pos, prepend=0)
-    nskip = np.maximum(deltas - 1, 0) // 255  # entries of delta 255 each
-    total = pos.size + int(nskip.sum())
-    out_delta = np.full(total, 255, np.uint8)
-    out_val = np.zeros(total, np.int8)
-    slots = np.arange(pos.size) + np.cumsum(nskip)  # final slot of each nz
-    out_delta[slots] = (deltas - 255 * nskip).astype(np.uint8)
-    esc_mask = (vals > 127) | (vals < -127)
-    out_val[slots] = np.where(esc_mask, -128, vals).astype(np.int8)
-    esc = vals[esc_mask].astype(np.int16)
+    scan = _native.jxt_scan_native(flat)
+    if scan is not None:
+        # one cache-friendly C++ pass builds the delta/val/esc streams
+        # directly (the numpy chain below measured ~13 ms/frame at 1296x968
+        # on the 1-core host — the transport's miss-regime bottleneck)
+        total, n_nonzero, out_delta, out_val, esc = scan
+        if 2 * n_nonzero >= max_bytes:  # same early-spill stat as below
+            return None
+        out_delta = out_delta[:total]
+        out_val = out_val[:total]
+    else:
+        pos = np.flatnonzero(flat)
+        vals = flat[pos]
+        # cheap early spill: >=2 B per nonzero
+        if 2 * pos.size >= max_bytes:
+            return None
+
+        # delta encode; bridge gaps > 255 with zero-valued skip entries
+        deltas = np.diff(pos, prepend=0)
+        nskip = np.maximum(deltas - 1, 0) // 255  # entries of delta 255 each
+        total = pos.size + int(nskip.sum())
+        out_delta = np.full(total, 255, np.uint8)
+        out_val = np.zeros(total, np.int8)
+        slots = np.arange(pos.size) + np.cumsum(nskip)  # final slot of each nz
+        out_delta[slots] = (deltas - 255 * nskip).astype(np.uint8)
+        esc_mask = (vals > 127) | (vals < -127)
+        out_val[slots] = np.where(esc_mask, -128, vals).astype(np.int8)
+        esc = vals[esc_mask].astype(np.int16)
 
     ncap, ecap = _bucket(total), _bucket_small(int(esc.size))
     if 2 * ncap + 2 * ecap >= max_bytes:

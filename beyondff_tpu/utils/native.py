@@ -44,6 +44,8 @@ def load_library() -> Optional[ctypes.CDLL]:
     if hasattr(lib, "bff_jpeg_info"):
         lib.bff_jpeg_info.restype = ctypes.c_int
         lib.bff_jpeg_coeffs.restype = ctypes.c_int
+    if hasattr(lib, "bff_jxt_scan"):
+        lib.bff_jxt_scan.restype = ctypes.c_int64
     return lib
 
 
@@ -161,6 +163,32 @@ def jpeg_coeffs_native(blob: bytes) -> Optional[dict]:
             "qtab": qtabs[int(info[6 + 5 * i]) * 64:][:64].copy(),
         })
     return {"hw": (h, w), "comps": comps}
+
+
+def jxt_scan_native(flat: np.ndarray):
+    """One-pass JXT wire scan (delta/val/esc streams, core/jxt.py pack()
+    semantics) over the concatenated dense coefficient tensor. Returns
+    (total_entries, n_nonzero, delta, val, esc) — delta/val oversized to
+    the worst-case cap, esc trimmed — or None without the library."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "bff_jxt_scan"):
+        return None
+    flat = np.ascontiguousarray(flat, np.int16)
+    cap = flat.size + flat.size // 255 + 8
+    delta = np.empty(cap, np.uint8)
+    val = np.empty(cap, np.int8)
+    esc = np.empty(max(flat.size, 1), np.int16)
+    nz = ctypes.c_int64()
+    ne = ctypes.c_int64()
+    total = lib.bff_jxt_scan(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.c_int64(flat.size),
+        delta.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        val.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        esc.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ctypes.byref(nz), ctypes.byref(ne),
+    )
+    return int(total), int(nz.value), delta, val, esc[:int(ne.value)]
 
 
 def decode_depth_batch_native(paths: List[str], depth_scale: float, out_hw: tuple,

@@ -542,4 +542,43 @@ int bff_jpeg_coeffs(const uint8_t* blob, int64_t size, int16_t* out0,
     return jpeg_decode_coeffs(&st, blob + size, outs);
 }
 
+// Single-pass JXT wire scan over the concatenated dense coefficient tensor
+// (core/jxt.py pack() semantics): emits the delta stream (position
+// differences, gaps > 255 bridged with zero-valued delta-255 skip entries)
+// and the int8 value stream with -128 escaping to the int16 side channel,
+// in one cache-friendly pass — replaces a numpy flatnonzero + gather +
+// cumsum chain that measured ~13 ms/frame on the 1-core host (the
+// miss-regime bottleneck of the coefficient transport). delta/val must
+// hold n + n/255 + 8 entries, esc n int16. Returns the total entry count;
+// *n_nonzero / *n_esc receive the nonzero and escape counts.
+int64_t bff_jxt_scan(const int16_t* flat, int64_t n, uint8_t* delta,
+                     int8_t* val, int16_t* esc, int64_t* n_nonzero,
+                     int64_t* n_esc) {
+    int64_t m = 0, e = 0, nz = 0, last = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int16_t v = flat[i];
+        if (v == 0) continue;
+        int64_t d = i - last;
+        last = i;
+        int64_t ns = d > 0 ? (d - 1) / 255 : 0;
+        for (int64_t k = 0; k < ns; ++k) {
+            delta[m] = 255;
+            val[m] = 0;
+            ++m;
+        }
+        delta[m] = (uint8_t)(d - 255 * ns);
+        if (v > 127 || v < -127) {
+            val[m] = -128;
+            esc[e++] = v;
+        } else {
+            val[m] = (int8_t)v;
+        }
+        ++m;
+        ++nz;
+    }
+    *n_nonzero = nz;
+    *n_esc = e;
+    return m;
+}
+
 }  // extern "C"

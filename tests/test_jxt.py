@@ -146,3 +146,46 @@ def test_skip_entries_bridge_long_gaps():
     dev = np.asarray(jxt.upload_frame(packed))
     err = np.abs(dev.astype(int) - _cv2_decode(blob).astype(int))
     assert err.max() <= 6
+
+
+def test_native_scan_matches_numpy_pack():
+    """bff_jxt_scan (the one-pass C++ delta/val/esc builder) must produce
+    byte-identical JxtPacked wires to the pure-numpy pack() chain, including
+    the edge cases: first nonzero at position 0, gaps > 255 and > 510
+    (multi-skip bridging), +-127 boundary values, and int16 escapes."""
+    from unittest import mock
+
+    blob = _encode(_structured(96, 128), quality=90)
+    dec = jxt.parse_file(blob)
+    a = jxt.pack(dec)
+    with mock.patch.object(native, "jxt_scan_native", lambda flat: None):
+        b = jxt.pack(dec)
+    assert a is not None and b is not None
+    assert (a.ncap, a.ecap) == (b.ncap, b.ecap)
+    np.testing.assert_array_equal(a.wire, b.wire)
+
+    rng = np.random.default_rng(3)
+    for _ in range(100):
+        n = int(rng.integers(1, 3000))
+        flat = np.zeros(n, np.int16)
+        k = int(rng.integers(0, min(n, 40)))
+        idxs = rng.choice(n, size=k, replace=False)
+        flat[idxs] = rng.integers(-4000, 4000, k).astype(np.int16)
+        flat[0] = int(rng.integers(-128, 129))  # position-0 + boundary vals
+        sc = native.jxt_scan_native(flat)
+        pos = np.flatnonzero(flat)
+        vals = flat[pos]
+        deltas = np.diff(pos, prepend=0)
+        nskip = np.maximum(deltas - 1, 0) // 255
+        total = pos.size + int(nskip.sum())
+        od = np.full(total, 255, np.uint8)
+        ov = np.zeros(total, np.int8)
+        slots = np.arange(pos.size) + np.cumsum(nskip)
+        od[slots] = (deltas - 255 * nskip).astype(np.uint8)
+        em = (vals > 127) | (vals < -127)
+        ov[slots] = np.where(em, -128, vals).astype(np.int8)
+        t, nz, d2, v2, e2 = sc
+        assert t == total and nz == pos.size
+        np.testing.assert_array_equal(d2[:t], od)
+        np.testing.assert_array_equal(v2[:t], ov)
+        np.testing.assert_array_equal(e2, vals[em].astype(np.int16))
