@@ -19,11 +19,19 @@ Weights are synthesized on device (identical FLOPs/memory traffic to
 converted checkpoints; zero-egress image, no multi-GB uploads). All timing is
 fenced with host fetches (deferred-execution backends can't fake completion).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+IMMEDIATELY after the composite section (so a driver timeout can never erase
+the round's number — round 4's rc=124 left parsed:null), then re-prints the
+same metric/value enriched with the secondary metrics at the end. Secondary
+sections are each gated on a wall-clock budget (BFF_BENCH_BUDGET_S, default
+1500 s from process start): once the budget is spent, remaining sections are
+skipped with a log line instead of risking the driver's timeout.
+
 Env knobs: BFF_BENCH_SCALE=small, BFF_BENCH_FRAMES, BFF_BENCH_HIT_RATE,
 BFF_BENCH_BOXES, BFF_BENCH_DEVICES=n (virtual-CPU scaling mode, small scale),
 BFF_BENCH_MULTICLASS=0 / BFF_BENCH_MULTI_CLASSES=k (scene-outer multi-class
-banked section), BFF_BENCH_PROJ=0, BFF_BENCH_FAST_PIPELINE=0.
+banked section), BFF_BENCH_PROJ=0, BFF_BENCH_FAST_PIPELINE=0,
+BFF_BENCH_BUDGET_S.
 """
 
 import json
@@ -36,6 +44,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_FPS = 10.0  # reference: 35 s/scene at ~350 frames (paper Sec. 4)
+_T_START = time.time()
+
+
+def _budget_left() -> float:
+    budget = float(os.environ.get("BFF_BENCH_BUDGET_S", "1500"))
+    return budget - (time.time() - _T_START)
 
 
 def log(msg):
@@ -290,11 +304,21 @@ def _measure_pipeline(seg, cfg, n_frames, hit_rate, tag):
     log(f"{tag}: calibrated box_threshold={thr:.4f} (top scores {scores[:6].round(4)})")
 
     def run(threshold, label):
-        seg.cfg = cfg.override(**{"detector.box_threshold": threshold})
-        # warmup: compile every program shape on a short prefix
+        # warmup: compile every program shape on a short PREFIX of the scene
+        # (the per-batch programs are shape-identical at any frame count that
+        # divides frame_batch; a full-scene warmup re-pays ~90 frames of
+        # steady-state work on top of the compiles for nothing). Residual
+        # shapes compile during measured pass 1 and best-of-N absorbs it.
+        warm_stride = max(1, n_frames // max(
+            4 * cfg.detector.frame_batch,
+            int(os.environ.get("BFF_BENCH_WARM_FRAMES", "16"))))
+        seg.cfg = cfg.override(**{"detector.box_threshold": threshold,
+                                  "frames.downsample_ratio": warm_stride})
         t0 = time.time()
         seg.process_scene("scene0000_00", "clothes")
-        log(f"{label}: warmup pass {time.time() - t0:.1f}s")
+        log(f"{label}: warmup pass {time.time() - t0:.1f}s "
+            f"({-(-n_frames // warm_stride)} frames)")
+        seg.cfg = cfg.override(**{"detector.box_threshold": threshold})
         # best of four passes (the shared chip can degrade transiently;
         # min measures the machine — an r3 run caught BOTH of two hit
         # passes inside one degradation window, reporting 2.79 f/s where a
@@ -822,43 +846,74 @@ def main():
     except Exception as e:  # noqa: BLE001 - diagnostic only, never fatal
         log(f"SECTION FAILED (link_probe): {type(e).__name__}: {e}")
         link_up = link_down = None
-    fps_device, mfu_records = device_compute(models, iters)
-    fps_fast = fps_fast_pipeline = None
-    fast_models = None
 
-    def _optional(name, fn):
+    # ---- headline FIRST, printed IMMEDIATELY: a driver timeout during any
+    # later section must never erase the round's number (round 4, rc=124)
+    fps_pipeline = pipeline_wall_clock(models, small)
+    headline = {
+        "metric": "seg2d_pipeline_frames_per_sec",
+        "value": round(fps_pipeline, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps_pipeline / BASELINE_FPS, 3),
+    }
+    print(json.dumps(headline), flush=True)
+
+    def _optional(name, fn, est_cost_s=0.0):
         """Secondary sections must never kill the headline JSON line (a
-        round-4 fast-pipeline crash aborted a full bench run)."""
+        round-4 crash and a round-4 driver timeout each cost a full run) —
+        catch errors, and skip outright when the wall-clock budget minus the
+        section's estimated cost is already spent."""
+        left = _budget_left()
+        if left < est_cost_s:
+            log(f"SECTION SKIPPED ({name}): {left:.0f}s of budget left "
+                f"< ~{est_cost_s:.0f}s estimated (BFF_BENCH_BUDGET_S)")
+            return None
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 - report and continue
             log(f"SECTION FAILED ({name}): {type(e).__name__}: {e}")
             return None
 
+    fps_fast = fps_fast_pipeline = None
+    fast_models = None
     if os.environ.get("BFF_BENCH_FAST_VARIANT", "1") != "0":
         fast = _optional("fast_variant_compute",
-                         lambda: fast_variant_compute(iters, dtype, small))
+                         lambda: fast_variant_compute(iters, dtype, small),
+                         est_cost_s=90)
         if fast is not None:
             fps_fast, fast_mfu, fast_models = fast
-            mfu_records.extend(fast_mfu)
-    fps_pipeline = pipeline_wall_clock(models, small)
     if fast_models is not None and os.environ.get("BFF_BENCH_FAST_PIPELINE", "1") != "0":
         fps_fast_pipeline = _optional(
             "fast_pipeline",
-            lambda: fast_pipeline_wall_clock(models, fast_models, small))
+            lambda: fast_pipeline_wall_clock(models, fast_models, small),
+            est_cost_s=150)
     mc_first = mc_banked = mc_fused = None
     if os.environ.get("BFF_BENCH_MULTICLASS", "0" if small else "1") != "0":
         mc = _optional("multiclass_wall_clock",
-                       lambda: multiclass_wall_clock(models, small))
+                       lambda: multiclass_wall_clock(models, small),
+                       est_cost_s=250)
         if mc is not None:
             mc_first, mc_banked, mc_fused = mc
     proj_e2e = proj_device = proj_multi = None
     if os.environ.get("BFF_BENCH_PROJ", "0" if small else "1") != "0":
-        proj = _optional("projection_bench", lambda: projection_bench(small))
+        proj = _optional("projection_bench", lambda: projection_bench(small),
+                         est_cost_s=400)
         if proj is not None:
             proj_e2e, proj_device, proj_multi = proj
-    log(f"summary: device-compute {fps_device:.2f} f/s, "
-        f"pipeline composite {fps_pipeline:.2f} f/s"
+    # device-compute MFU/roofline table last: it is the most stable
+    # cross-round section (unchanged since round 4's verdict) and the most
+    # expensive compile load
+    fps_device, mfu_records = None, []
+    if os.environ.get("BFF_BENCH_DEVICE_COMPUTE", "1") != "0":
+        dc = _optional("device_compute", lambda: device_compute(models, iters),
+                       est_cost_s=450)
+        if dc is not None:
+            fps_device, mfu_records = dc
+            if fast_models is not None:
+                mfu_records.extend(fast_mfu)
+    log("summary: "
+        + (f"device-compute {fps_device:.2f} f/s, " if fps_device else "")
+        + f"pipeline composite {fps_pipeline:.2f} f/s"
         + (f", fast-variant device {fps_fast:.2f} f/s" if fps_fast else "")
         + (f", fast pipeline composite {fps_fast_pipeline:.2f} f/s"
            if fps_fast_pipeline else "")
@@ -869,11 +924,13 @@ def main():
            if proj_e2e else "")
         + (f" / {proj_multi:.1f} per-class multi-class" if proj_multi else ""))
 
-    # one JSON line; the headline metric stays name-stable across rounds and
-    # the secondary metrics ride in "extra" (reference anchors: seg2d ~10 f/s
-    # avg, projection ~12-20 scenes/min — BASELINE.md)
+    # re-print the SAME headline metric/value enriched with the secondary
+    # metrics (the driver parses the last JSON line; both lines parse to the
+    # same headline number, so a timeout anywhere above still leaves a valid
+    # artifact). Reference anchors: seg2d ~10 f/s avg, projection ~12-20
+    # scenes/min — BASELINE.md.
     extra = {
-        "seg2d_device_bound_fps": round(fps_device, 3),
+        "seg2d_device_bound_fps": round(fps_device, 3) if fps_device else None,
         "seg2d_fast_device_fps": round(fps_fast, 3) if fps_fast else None,
         "seg2d_fast_pipeline_fps": (round(fps_fast_pipeline, 3)
                                     if fps_fast_pipeline else None),
@@ -890,15 +947,10 @@ def main():
                                            if mc_fused else None),
         "link_upload_mb_s": link_up,
         "link_download_mb_s": link_down,
+        "wall_s": round(time.time() - _T_START, 1),
         "mfu": mfu_records,
     }
-    print(json.dumps({
-        "metric": "seg2d_pipeline_frames_per_sec",
-        "value": round(fps_pipeline, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps_pipeline / BASELINE_FPS, 3),
-        "extra": extra,
-    }))
+    print(json.dumps({**headline, "extra": extra}), flush=True)
 
 
 if __name__ == "__main__":
