@@ -266,6 +266,17 @@ def _decode_batch_jit(geometry: JxtGeometry, ncap: int, ecap: int):
         in_axes=(0, None)))
 
 
+@lru_cache(maxsize=64)
+def _decode_batch_q_jit(geometry: JxtGeometry, ncap: int, ecap: int):
+    """Batched decode with PER-FRAME quantization tables (same geometry,
+    different JPEG qualities in one chunk)."""
+    import jax
+
+    return jax.jit(jax.vmap(
+        lambda wire, q: _decode_core(wire, q, geometry, ncap, ecap),
+        in_axes=(0, 0)))
+
+
 def upload_frame(packed: JxtPacked):
     """Packed frame -> uint8 RGB (H, W, 3) DEVICE buffer; only the sparse
     wire bytes cross the link."""
@@ -290,17 +301,32 @@ def rebucket(packed: JxtPacked, ncap: int, ecap: int) -> JxtPacked:
 
 
 def upload_frames(packs: List[JxtPacked]):
-    """Same-geometry packed frames -> ONE (B, H, W, 3) device batch in a
-    single host->device transfer (frames rebucket to the largest caps)."""
+    """Packed frames -> ONE (B, H, W, 3) device batch in a single
+    host->device transfer (frames rebucket to the largest caps).
+
+    Frames need not share JPEG quality or geometry: mixed quantization
+    tables ride a per-frame-qsteps vmap, and a chunk mixing block
+    geometries (e.g. a grayscale or 4:4:4 frame among 4:2:0 ones) decodes
+    per frame and stacks — decoding frame i with frame 0's qtab/geometry
+    would silently reconstruct wrong pixels. All frames must share (h, w)
+    (callers reject other pixel dims before packing)."""
     import jax.numpy as jnp
 
     geo = packs[0].geometry
+    if any(p.geometry != geo for p in packs):
+        if any((p.geometry.h, p.geometry.w) != (geo.h, geo.w) for p in packs):
+            raise ValueError("upload_frames: mixed frame pixel dims")
+        return jnp.stack([upload_frame(p) for p in packs])
     ncap = max(p.ncap for p in packs)
     ecap = max(p.ecap for p in packs)
     packs = [rebucket(p, ncap, ecap) for p in packs]
     wire = np.stack([p.wire for p in packs])
-    fn = _decode_batch_jit(geo, ncap, ecap)
-    return fn(jnp.asarray(wire), jnp.asarray(packs[0].qsteps))
+    if all(np.array_equal(p.qsteps, packs[0].qsteps) for p in packs[1:]):
+        fn = _decode_batch_jit(geo, ncap, ecap)
+        return fn(jnp.asarray(wire), jnp.asarray(packs[0].qsteps))
+    fn = _decode_batch_q_jit(geo, ncap, ecap)
+    return fn(jnp.asarray(wire),
+              jnp.asarray(np.stack([p.qsteps for p in packs])))
 
 
 # ------------------------------------------------------------- device resize

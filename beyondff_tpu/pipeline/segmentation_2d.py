@@ -610,6 +610,16 @@ class Segmentor2D:
         jxt_mode = os.environ.get("BFF_SEG2D_JXT", "0")
         use_jxt = (device_frames and device_crops
                    and jxt_mode in ("1", "auto"))
+        if jxt_mode == "1" and not use_jxt and not getattr(
+                Segmentor2D, "_jxt_forced_warned", False):
+            # a forced A/B that silently measures the unchanged YCrCb path
+            # would compare identical configurations (ADVICE r4)
+            Segmentor2D._jxt_forced_warned = True
+            print("[seg2d] warning: BFF_SEG2D_JXT=1 has no effect without "
+                  f"device frames + device crops (device_frames={device_frames}, "
+                  f"device_crops={device_crops}); set "
+                  "BFF_CLIP_DEVICE_CROPS=1 (and two-tier/device transport) "
+                  "to engage the coefficient transport")
         if use_jxt:
             from beyondff_tpu.core import jxt as _jxt
 

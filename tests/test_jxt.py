@@ -110,6 +110,44 @@ def test_batch_matches_singles():
     assert np.array_equal(batch, singles)
 
 
+def test_batch_mixed_quality_uses_per_frame_qsteps():
+    """A chunk mixing JPEG qualities must decode each frame with ITS OWN
+    quantization tables (ADVICE r4: frames 1..B-1 silently dequantized with
+    frame 0's qtab reconstructed wrong pixels)."""
+    packs = [jxt.pack_file(_encode(_structured(96, 128, seed=s), quality=q))
+             for s, q in ((0, 90), (1, 75), (2, 95))]
+    assert all(p is not None for p in packs)
+    assert not np.array_equal(packs[0].qsteps, packs[1].qsteps)
+    batch = np.asarray(jxt.upload_frames(packs))
+    singles = np.stack([np.asarray(jxt.upload_frame(p)) for p in packs])
+    assert np.array_equal(batch, singles)
+
+
+def test_batch_mixed_geometry_falls_back_per_frame():
+    """A grayscale frame (1 component) among color 4:2:0 frames has a
+    different block geometry — the batch must decode it correctly rather
+    than assembling it with frame 0's geometry."""
+    color = [jxt.pack_file(_encode(_structured(96, 128, seed=s), quality=90))
+             for s in range(2)]
+    g = _structured(96, 128, seed=7)[:, :, 0]
+    ok, enc = cv2.imencode(".jpg", g, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    gray = jxt.pack_file(enc.tobytes())
+    packs = [color[0], gray, color[1]]
+    assert all(p is not None for p in packs)
+    assert packs[1].geometry != packs[0].geometry
+    batch = np.asarray(jxt.upload_frames(packs))
+    singles = np.stack([np.asarray(jxt.upload_frame(p)) for p in packs])
+    assert np.array_equal(batch, singles)
+
+
+def test_batch_mixed_pixel_dims_rejected():
+    a = jxt.pack_file(_encode(_structured(96, 128), quality=90))
+    b = jxt.pack_file(_encode(_structured(80, 96), quality=90))
+    assert a is not None and b is not None
+    with pytest.raises(ValueError):
+        jxt.upload_frames([a, b])
+
+
 def test_device_resize_matches_cv2():
     img = _structured(96, 128)
     import jax.numpy as jnp
