@@ -48,12 +48,18 @@ def tensor_parallel_spec(path: tuple, leaf, model_axis: str = "model"):
     names = [getattr(p, "key", str(p)) for p in path]
     leafname = names[-1] if names else ""
     parent = names[-2] if len(names) > 1 else ""
-    if leafname == "kernel":
+    # Dense kernels only (ndim == 2): a name-matched CONV kernel (e.g. the
+    # patch-embed conv is also called "proj") would otherwise shard a SPATIAL
+    # dim over the model axis, and GSPMD propagates that into the activations
+    # — the r4 dryrun's involuntary-full-rematerialization warning on the
+    # train step's `images` input came exactly from this.
+    if leafname == "kernel" and getattr(leaf, "ndim", 0) == 2:
         if parent in ("q", "k", "v", "qkv", "fc1", "mlp_fc1", "value_proj"):
             return P(None, model_axis)
         if parent in ("proj", "fc2", "mlp_fc2", "attn_out", "output_proj", "out_proj"):
             return P(model_axis, None)
-    if leafname == "bias" and parent in ("q", "k", "v", "qkv", "fc1", "mlp_fc1", "value_proj"):
+    if (leafname == "bias" and getattr(leaf, "ndim", 0) == 1
+            and parent in ("q", "k", "v", "qkv", "fc1", "mlp_fc1", "value_proj")):
         return P(model_axis)
     return P()
 

@@ -49,9 +49,16 @@ def test_tensor_parallel_spec_rules():
     from jax.sharding import PartitionSpec as P
     from jax.tree_util import DictKey
 
-    assert mesh_lib.tensor_parallel_spec((DictKey("attn"), DictKey("q"), DictKey("kernel")), None) == P(None, "model")
-    assert mesh_lib.tensor_parallel_spec((DictKey("attn"), DictKey("proj"), DictKey("kernel")), None) == P("model", None)
-    assert mesh_lib.tensor_parallel_spec((DictKey("ln1"), DictKey("scale")), None) == P()
+    k2 = np.zeros((4, 4), np.float32)  # dense kernel
+    k4 = np.zeros((2, 2, 3, 4), np.float32)  # conv kernel (e.g. patch embed)
+    assert mesh_lib.tensor_parallel_spec((DictKey("attn"), DictKey("q"), DictKey("kernel")), k2) == P(None, "model")
+    assert mesh_lib.tensor_parallel_spec((DictKey("attn"), DictKey("proj"), DictKey("kernel")), k2) == P("model", None)
+    assert mesh_lib.tensor_parallel_spec((DictKey("ln1"), DictKey("scale")), np.zeros(4)) == P()
+    # conv kernels must stay replicated even when name-matched: sharding a
+    # SPATIAL dim over `model` propagates into the activations (the r4
+    # dryrun's involuntary-rematerialization warning on `images`)
+    assert mesh_lib.tensor_parallel_spec((DictKey("patch_embed"), DictKey("proj"), DictKey("kernel")), k4) == P()
+    assert mesh_lib.tensor_parallel_spec((DictKey("attn"), DictKey("q"), DictKey("bias")), np.zeros(4)) == P("model")
 
 
 def test_sharded_clip_train_step(rng):
