@@ -11,10 +11,24 @@ device across classes instead of reloading per subprocess — the reference
 pays a full GroundingDINO+SAM+CLIP load per class), with optional
 ``subprocess=True`` for crash isolation, and failures are caught per stage so
 the sweep continues (run_evl.py:115-118).
+
+Multi-host (the DCN leg of SURVEY §2.4): the 120-class x 142-scene sweep is
+embarrassingly parallel over classes — ``SweepRunner(hosts=N, host=i)``
+takes the deterministic interleaved partition ``classes[i::N]`` (balanced
+across the head/common/tail frequency groups because the reference's class
+list is grouped, run_evl.py:103), writes per-host checkpoints and per-host
+results tables (no cross-host file races on a shared filesystem), and
+:func:`merge_host_results` folds them into the canonical
+``overall_results.txt`` byte-identically to a single-host run. Each host
+drives its own chips; no cross-host collective is needed until the final
+metrics merge, which is pure host-side file IO (SURVEY §2.4: "DCN only for
+multi-host full-val sweeps ... one gather of per-scene metric records at
+the end").
 """
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
@@ -38,16 +52,85 @@ def default_class_list(per_group: int = 40) -> List[str]:
     )
 
 
+def host_partition(classes: Sequence[str], hosts: int, host: int) -> List[str]:
+    """Deterministic interleaved class partition: host ``i`` of ``N`` takes
+    ``classes[i::N]``. Interleaving balances the head/common/tail mix (and
+    with it the expected per-class cost) across hosts; the partition is a
+    pure function of (classes, hosts, host) so every host computes the same
+    global assignment without any coordination."""
+    if hosts < 1:
+        raise ValueError(f"hosts must be >= 1, got {hosts}")
+    if not 0 <= host < hosts:
+        raise ValueError(f"host index {host} out of range for {hosts} hosts")
+    return list(classes)[host::hosts]
+
+
+def host_suffix(hosts: int, host: int) -> str:
+    return f".host{host}of{hosts}" if hosts > 1 else ""
+
+
+def resolve_hosts(hosts=None, host=None) -> tuple:
+    """(hosts, host) from explicit args, falling back to the JAX distributed
+    runtime (``jax.process_count``/``jax.process_index``) when it is
+    initialized with multiple processes, else single-host."""
+    if hosts is not None:
+        return int(hosts), int(host or 0)
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            return jax.process_count(), jax.process_index()
+    except Exception:  # noqa: BLE001 - uninitialized backend etc.
+        pass
+    return 1, 0
+
+
+def merge_host_results(cfg: Config, hosts: int,
+                       checkpoint_path: str = "process_checkpoint.txt") -> None:
+    """Fold per-host artifacts into the canonical single-host ones:
+
+    * ``overall_results.host<i>of<n>.txt`` -> ``overall_results.txt``
+      (byte-identical to a single-host run over the same classes);
+    * per-host sweep checkpoints -> the canonical checkpoint (union; a class
+      marked by any host keeps its flags).
+
+    Per-scene stage outputs and per-(class, stage) scene checkpoints need no
+    merge: classes are disjoint across hosts, so those files never collide.
+    """
+    from beyondff_tpu.pipeline.evaluate import merge_results_tables
+
+    rd = cfg.paths.results_dir
+    merge_results_tables(
+        [os.path.join(rd, f"overall_results{host_suffix(hosts, i)}.txt")
+         for i in range(hosts)],
+        os.path.join(rd, "overall_results.txt"))
+    merged = SweepCheckpoint(checkpoint_path)
+    for i in range(hosts):
+        part = SweepCheckpoint(checkpoint_path + host_suffix(hosts, i))
+        for class_name, stages in part._state.items():
+            for stage, ok in stages.items():
+                merged.mark(class_name, stage, ok)
+
+
 class SweepRunner:
     STAGES = ("segmentation", "projection", "refinement", "evaluation")
 
     def __init__(self, cfg: Config, config_path: Optional[str] = None,
                  checkpoint_path: str = "process_checkpoint.txt",
                  skip_segmentation: bool = False, use_subprocess: bool = False,
-                 retries: int = 0, amortize_projection: bool = True):
+                 retries: int = 0, amortize_projection: bool = True,
+                 hosts: int = 1, host: int = 0):
         self.cfg = cfg
         self.config_path = config_path
-        self.checkpoint = SweepCheckpoint(checkpoint_path)
+        # multi-host: this runner owns the deterministic class partition
+        # classes[host::hosts]; its checkpoint and results table are
+        # per-host files merged at the end (merge_host_results)
+        self.hosts, self.host = hosts, host
+        if not 0 <= host < hosts:
+            raise ValueError(f"host index {host} out of range for {hosts} hosts")
+        suffix = host_suffix(hosts, host)
+        self.table_name = f"overall_results{suffix}.txt"
+        self.checkpoint = SweepCheckpoint(checkpoint_path + suffix)
         # reuse cached 2D masks and only re-run the cheap stages — the
         # reference's parameter-sweep mode (run_evl_finding_parameter.py:56-87)
         self.skip_segmentation = skip_segmentation
@@ -125,7 +208,8 @@ class SweepRunner:
         elif stage == "evaluation":
             from beyondff_tpu.pipeline import evaluate
 
-            evaluate.run(self.cfg, class_name, verbose=False)
+            evaluate.run(self.cfg, class_name, verbose=False,
+                         table_name=self.table_name)
 
     def process_class(self, class_name: str) -> Dict[str, bool]:
         """All four stages for one class, with per-stage resume + failure
@@ -163,8 +247,6 @@ class SweepRunner:
         already complete (all of them in find-parameters mode), sharing each
         scene's depth upload. Falls back silently to the per-class stage on
         any error — per-(class, scene) checkpoints keep partial progress."""
-        import os
-
         pending = [
             c for c in classes
             if (self.skip_segmentation
@@ -194,6 +276,10 @@ class SweepRunner:
             amortize_segmentation: bool = False) -> Dict[str, Dict[str, bool]]:
         classes = classes if classes is not None else default_class_list()
         todo = [c for c in classes if c not in skip]
+        if self.hosts > 1:
+            todo = host_partition(todo, self.hosts, self.host)
+            print(f"[sweep] host {self.host}/{self.hosts}: "
+                  f"{len(todo)} classes of the partition")
         if not self.use_subprocess:
             if amortize_segmentation and not self.skip_segmentation:
                 self._amortized_segmentation(todo)

@@ -80,8 +80,14 @@ def predictions_for_scene(final_path: str, scene_id: str,
     return preds
 
 
-def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None, verbose: bool = True) -> Dict:
-    """Evaluate one class over its final outputs; patch the results table."""
+def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None, verbose: bool = True,
+        table_name: str = "overall_results.txt") -> Dict:
+    """Evaluate one class over its final outputs; patch the results table.
+
+    ``table_name`` lets multi-host sweeps patch per-host tables
+    (``overall_results.host<i>of<n>.txt``) that a final merge folds into the
+    canonical file — concurrent hosts would otherwise race the shared
+    read-modify-write (orchestration.sweep.merge_host_results)."""
     data_dir = os.path.join(cfg.paths.final_output_dir, class_name)
     if scenes is None:
         scenes = sorted(f.rsplit(".", 1)[0] for f in os.listdir(data_dir) if f.endswith((".pth", ".npz")))
@@ -102,7 +108,7 @@ def run(cfg: Config, class_name: str, scenes: Optional[Sequence[str]] = None, ve
     avgs = ev.evaluate(res, gtsem, gtinst, exp_path=cfg.paths.results_dir, verbose=verbose)
     if dataset_name == "scannet200":
         update_results_table(
-            os.path.join(cfg.paths.results_dir, "overall_results.txt"), class_name, avgs
+            os.path.join(cfg.paths.results_dir, table_name), class_name, avgs
         )
     # per-class PR curves, like the reference's checked-in pr_curves/ pngs
     curves = {k: v for k, v in ev.pr_curves.items() if k[0] == class_name}
@@ -126,6 +132,28 @@ def _results_template() -> List[str]:
         lines.append(f"\n {title} Classes: \n")
         lines.extend(f"{c},-,-,-\n" for c in cats)
     return lines
+
+
+def merge_results_tables(host_paths: Sequence[str], out_path: str) -> None:
+    """Fold per-host results tables into one canonical table.
+
+    Each host patches only its own (disjoint) classes' rows, so the merge —
+    template + every host's patched rows, verbatim — is byte-identical to
+    the table a single host would have produced over the union of classes
+    (tested in tests/test_sweep.py)."""
+    lines = _results_template()
+    for hp in host_paths:
+        if not os.path.exists(hp):
+            continue
+        with open(hp) as f:
+            for ln in f:
+                parts = ln.rstrip("\n").split(",")
+                # patched rows carry 6 metric fields; placeholders are "c,-,-,-"
+                if len(parts) >= 7 and parts[1] != "-":
+                    lines = [ln if l.startswith(f"{parts[0]},") else l for l in lines]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        f.writelines(lines)
 
 
 def update_results_table(path: str, class_name: str, avgs: Dict) -> None:

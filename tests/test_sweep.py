@@ -153,6 +153,96 @@ def test_amortized_projection_in_find_parameters(tmp_path, monkeypatch):
     assert ("evaluation", "clothes") in stage_calls
 
 
+def test_host_partition_properties():
+    from beyondff_tpu.orchestration import host_partition, resolve_hosts
+
+    classes = [f"c{i}" for i in range(11)]
+    parts = [host_partition(classes, 3, i) for i in range(3)]
+    # disjoint cover of the class list
+    flat = [c for p in parts for c in p]
+    assert sorted(flat) == sorted(classes) and len(flat) == len(set(flat))
+    # balanced within one class
+    sizes = [len(p) for p in parts]
+    assert max(sizes) - min(sizes) <= 1
+    # interleaved: host i starts at classes[i]
+    assert parts[1][0] == "c1"
+    assert host_partition(classes, 1, 0) == classes
+    with pytest.raises(ValueError):
+        host_partition(classes, 3, 3)
+    with pytest.raises(ValueError):
+        host_partition(classes, 0, 0)
+    # explicit args pass through; single-process jax falls back to (1, 0)
+    assert resolve_hosts(4, 2) == (4, 2)
+    assert resolve_hosts(None, None) == (1, 0)
+
+
+def test_multi_host_sweep_merges_bit_identical(tmp_path):
+    """Two hosts over disjoint class partitions of the synthetic fixture
+    (find-parameters mode: projection -> refinement -> evaluation per class),
+    then merge: the merged results table must be BYTE-identical to a
+    single-host run over the same classes, and the merged checkpoint must
+    mark every (class, stage)."""
+    import os
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import make_synthetic_scene
+
+    from beyondff_tpu.orchestration import merge_host_results
+    from beyondff_tpu.utils.checkpoint import SweepCheckpoint
+
+    root = str(tmp_path / "mhroot")
+    cfg_path = make_synthetic_scene.generate(root, query="towel", seed=2)
+    classes = ["towel", "pillow", "blanket"]
+    base = Config.from_yaml(cfg_path)
+    for c in classes[1:]:
+        shutil.copytree(os.path.join(base.paths.mask_2d_dir, "towel"),
+                        os.path.join(base.paths.mask_2d_dir, c))
+
+    def cfg_for(tag):
+        return base.override(**{
+            "paths.results_dir": os.path.join(root, f"eval_{tag}"),
+            "paths.checkpoint_dir": os.path.join(root, f"ckpt_{tag}"),
+        })
+
+    # ---- multi-host: each host runs its partition with per-host artifacts
+    mh_cfg = cfg_for("mh")
+    mh_ckpt = str(tmp_path / "proc_mh.txt")
+    for host in range(2):
+        r = SweepRunner(mh_cfg, checkpoint_path=mh_ckpt,
+                        skip_segmentation=True, amortize_projection=False,
+                        hosts=2, host=host)
+        res = r.run(classes, skip=())
+        assert all(all(v.values()) for v in res.values()), res
+    # per-host tables exist; canonical one doesn't yet
+    rd = mh_cfg.paths.results_dir
+    assert os.path.exists(os.path.join(rd, "overall_results.host0of2.txt"))
+    assert os.path.exists(os.path.join(rd, "overall_results.host1of2.txt"))
+    assert not os.path.exists(os.path.join(rd, "overall_results.txt"))
+    merge_host_results(mh_cfg, 2, checkpoint_path=mh_ckpt)
+
+    # ---- single-host reference over the same classes
+    sh_cfg = cfg_for("sh")
+    r = SweepRunner(sh_cfg, checkpoint_path=str(tmp_path / "proc_sh.txt"),
+                    skip_segmentation=True, amortize_projection=False)
+    res = r.run(classes, skip=())
+    assert all(all(v.values()) for v in res.values()), res
+
+    merged = open(os.path.join(rd, "overall_results.txt")).read()
+    single = open(os.path.join(sh_cfg.paths.results_dir,
+                               "overall_results.txt")).read()
+    assert merged == single
+    for c in classes:
+        assert f"{c}," in merged
+    ck = SweepCheckpoint(mh_ckpt)
+    for c in classes:
+        # find-parameters mode never marks segmentation (single-host parity)
+        for stage in ("projection", "refinement", "evaluation"):
+            assert ck.stage_done(c, stage), (c, stage)
+
+
 def test_amortized_segmentation_phase(tmp_path, monkeypatch):
     """run(amortize_segmentation=True) runs the 2D stage for all classes
     scene-outer up front (segmentation_2d.run_classes) and the per-class
