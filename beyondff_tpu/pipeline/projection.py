@@ -453,6 +453,13 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
             os.replace(tmp, path)  # atomic: concurrent readers see old or new
         return raw
 
+    # Depth-pack transport (BFF_DEPTH_PACK=1, opt-in pending on-chip A/B;
+    # core/depth_pack.py): raw uint16 depth crosses the link as zigzag
+    # block-deltas + escapes (~0.3-1.1 B/px vs 2 B/px, bit-LOSSLESS — the
+    # device reconstructs the exact uint16 frame) and only falls back per
+    # frame when the spill guard finds noise-like content
+    use_dpack = os.environ.get("BFF_DEPTH_PACK", "0") == "1"
+
     def load_frame(fid: str) -> Dict:
         f: Dict = {"frame_id": fid, "pose": reader.pose(fid)}
         rec = by_frame.get(fid)
@@ -463,7 +470,15 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
                     # upload starts here, in the prefetch thread: the async
                     # dispatch overlaps the transfer with device compute (the
                     # main-thread batch upload left the device idle-waiting)
-                    dev = jnp.asarray(_depth_raw(fid))
+                    raw = _depth_raw(fid)
+                    if use_dpack:
+                        from beyondff_tpu.core import depth_pack as _dpack
+
+                        pk = _dpack.pack(raw)
+                        dev = (_dpack.upload_frame(pk) if pk is not None
+                               else jnp.asarray(raw))
+                    else:
+                        dev = jnp.asarray(raw)
                     if depth_bank is not None:
                         depth_bank[fid] = dev
                 f["depth_dev"] = dev

@@ -46,6 +46,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.bff_jpeg_coeffs.restype = ctypes.c_int
     if hasattr(lib, "bff_jxt_scan"):
         lib.bff_jxt_scan.restype = ctypes.c_int64
+    if hasattr(lib, "bff_depth_pack"):
+        lib.bff_depth_pack.restype = ctypes.c_int
     return lib
 
 
@@ -189,6 +191,42 @@ def jxt_scan_native(flat: np.ndarray):
         ctypes.byref(nz), ctypes.byref(ne),
     )
     return int(total), int(nz.value), delta, val, esc[:int(ne.value)]
+
+
+def depth_pack_native(flat: np.ndarray):
+    """One-pass depth-pack scan (core/depth_pack.py wire semantics) over a
+    flattened uint16 depth map (length a multiple of 64). Returns
+    (classes u8, preds i8, bases u16, stream u8, esc_pos i32, esc_corr
+    i32) with stream/escapes trimmed, or None without the library."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "bff_depth_pack"):
+        return None
+    flat = np.ascontiguousarray(flat, np.uint16)
+    nb = flat.size // 64
+    classes = np.empty(nb, np.uint8)
+    preds = np.empty(nb, np.int8)
+    bases = np.empty(nb, np.uint16)
+    stream = np.empty(2 * flat.size, np.uint8)
+    esc_pos = np.empty(max(flat.size, 1), np.int32)
+    esc_corr = np.empty(max(flat.size, 1), np.int32)
+    slen = ctypes.c_int64()
+    nesc = ctypes.c_int64()
+    rc = lib.bff_depth_pack(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_int64(flat.size),
+        classes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        preds.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        bases.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        stream.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(slen),
+        esc_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        esc_corr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(nesc),
+    )
+    if rc != 0:
+        return None
+    return (classes, preds, bases, stream[:int(slen.value)].copy(),
+            esc_pos[:int(nesc.value)].copy(), esc_corr[:int(nesc.value)].copy())
 
 
 def decode_depth_batch_native(paths: List[str], depth_scale: float, out_hw: tuple,

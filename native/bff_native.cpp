@@ -9,6 +9,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC bff_native.cpp -o libbff_native.so -lz -lpthread
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -579,6 +580,102 @@ int64_t bff_jxt_scan(const int16_t* flat, int64_t n, uint8_t* delta,
     *n_nonzero = nz;
     *n_esc = e;
     return m;
+}
+
+// Depth-pack: lossless block transport for uint16 depth maps (the
+// projection stage's host->device feed wall; see core/depth_pack.py for the
+// device-side decode). The flattened frame is split into 64-pixel blocks;
+// each block stores its first pixel as a uint16 base plus ZIGZAG-coded
+// NEIGHBOR deltas at a per-block width class k in {0,4,8,16} bits in one
+// contiguous stream — neighbor deltas track the surface GRADIENT (a few
+// to a few tens of mm/px on indoor surfaces at any absolute depth), where
+// a min-based window would blow up on steep smooth gradients. Deltas that
+// do not fit the class (depth discontinuities, invalid-zero speckle)
+// store 0 and escape the TRUE delta to a (flat position, int32
+// correction) side channel; the device adds corrections into the delta
+// field before the per-block prefix sum, so the chain stays exact. Per
+// block the class minimizes wire bytes: payload(k) + 8 * escapes(k).
+// Smooth content packs at ~0.3-1 B/px; noise degrades to k=16 and the
+// Python caller's spill guard falls back to the raw transport.
+//
+// n_px must be a multiple of 64 (caller edge-pads). classes/bases get
+// n_px/64 entries; stream worst case 2*n_px bytes; esc_pos/esc_corr worst
+// case n_px entries. Returns 0; *stream_len and *n_esc receive sizes.
+int bff_depth_pack(const uint16_t* depth, int64_t n_px, uint8_t* classes,
+                   int8_t* preds, uint16_t* bases, uint8_t* stream,
+                   int64_t* stream_len, int32_t* esc_pos, int32_t* esc_corr,
+                   int64_t* n_esc) {
+    if (n_px % 64) return -1;
+    const int64_t n_blocks = n_px / 64;
+    static const int ks[5] = {0, 2, 4, 8, 16};
+    static const uint32_t lims[5] = {1u, 4u, 16u, 256u, 65536u};
+    int64_t sp = 0, ep = 0;
+    int32_t d[64];
+    uint32_t z[64];
+    int32_t ds[63];
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        const uint16_t* px = depth + b * 64;
+        d[0] = 0;
+        for (int i = 1; i < 64; ++i) {
+            d[i] = (int32_t)px[i] - (int32_t)px[i - 1];
+            ds[i - 1] = d[i];
+        }
+        // per-block slope predictor: the median neighbor delta centers the
+        // residuals of a constant-gradient surface at 0 (one class lower)
+        std::nth_element(ds, ds + 31, ds + 63);
+        int32_t p = ds[31];
+        if (p < -127) p = -127;
+        if (p > 127) p = 127;
+        // pixel 0 stays out of the predicted chain (stored z=0, decoded
+        // delta 0): zigzag(-p) would otherwise force an escape in narrow
+        // classes whenever the slope is nonzero
+        z[0] = 0;
+        int cnt[5] = {0, 0, 0, 0, 0};  // escapes per class
+        for (int i = 1; i < 64; ++i) {
+            const int32_t r = d[i] - p;
+            const uint32_t zz = r >= 0 ? (uint32_t)(2 * r) : (uint32_t)(-2 * r - 1);
+            z[i] = zz;
+            for (int c = 0; c < 5; ++c) cnt[c] += zz >= lims[c];
+        }
+        int best_c = 0;
+        int best_cost = 8 * cnt[0];
+        for (int c = 1; c < 5; ++c) {
+            const int cost = ks[c] * 8 + 8 * cnt[c];
+            if (cost < best_cost) { best_cost = cost; best_c = c; }
+        }
+        const int k = ks[best_c];
+        const uint32_t lim = lims[best_c];
+        classes[b] = (uint8_t)best_c;
+        preds[b] = (int8_t)p;
+        bases[b] = px[0];
+        for (int i = 0; i < 64; ++i) {
+            uint32_t zz = z[i];
+            if (zz >= lim) {
+                esc_pos[ep] = (int32_t)(b * 64 + i);
+                esc_corr[ep] = d[i] - p;
+                ++ep;
+                zz = 0;
+            }
+            if (k == 2) {
+                if (i % 4 == 0) stream[sp] = (uint8_t)zz;
+                else {
+                    stream[sp] |= (uint8_t)(zz << (2 * (i % 4)));
+                    if (i % 4 == 3) ++sp;
+                }
+            } else if (k == 4) {
+                if (i % 2 == 0) stream[sp] = (uint8_t)zz;
+                else stream[sp++] |= (uint8_t)(zz << 4);
+            } else if (k == 8) {
+                stream[sp++] = (uint8_t)zz;
+            } else if (k == 16) {
+                stream[sp++] = (uint8_t)(zz & 0xff);
+                stream[sp++] = (uint8_t)(zz >> 8);
+            }
+        }
+    }
+    *stream_len = sp;
+    *n_esc = ep;
+    return 0;
 }
 
 }  // extern "C"
