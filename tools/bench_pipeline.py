@@ -24,7 +24,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_fullscale_scene(root: str, n_points: int, n_frames: int, rng) -> str:
-    """Full-resolution synthetic scene written in the ScanNet layout."""
+    """Full-resolution synthetic scene written in the ScanNet layout.
+
+    Depth content flavor via ``BFF_BENCH_DEPTH``:
+
+    * ``splat`` (default, the historical fixture — comparable across
+      rounds): the uniform-volume point cloud min-splatted per pixel,
+      holes as zeros. ~66% zeros with random-depth salt — an adversarial
+      content class no depth sensor produces (sensors image SURFACES).
+    * ``surface``: a piecewise-smooth analytic depth surface (walls +
+      boxes + sensor LSB noise + 1% invalid speckle) with the point cloud
+      SAMPLED FROM the surface (like a real reconstruction, where points
+      lie on the depth maps that built them) — the representative content
+      class for transport measurements (core/depth_pack.py engages here;
+      its spill guard correctly rejects the splat flavor's salt noise).
+    """
     import cv2
     import torch
 
@@ -33,11 +47,46 @@ def build_fullscale_scene(root: str, n_points: int, n_frames: int, rng) -> str:
     from beyondff_tpu.data import scannet200
     from beyondff_tpu.utils import io as bio
 
+    flavor = os.environ.get("BFF_BENCH_DEPTH", "splat")
     w2d, h2d = 1296, 968
     scene_id = "scene0000_00"
-    pts = rng.uniform([-2, -1.5, 1.0], [2, 1.5, 4.0], (n_points, 3)).astype(np.float32)
-    obj = rng.uniform([-0.4, -0.4, 2.0], [0.4, 0.4, 2.05], (2000, 3)).astype(np.float32)
-    pts[:2000] = obj
+    intr = np.array([[1170.0, 0, w2d / 2], [0, 1170.0, h2d / 2], [0, 0, 1.0]])
+
+    if flavor == "surface":
+        # sensor-resolution depth built directly at 640x480 (noise and
+        # invalid speckle are sensor artifacts — adding them at RGB res and
+        # downsizing would blend the speckle into unrealistic pits); the
+        # RGB-res field the pipeline compares against is the same bilinear
+        # upsize the drivers apply
+        sw, sh = 640, 480
+        yy, xx = np.mgrid[0:sh, 0:sw].astype(np.float32)
+        sx, sy = w2d / sw, h2d / sh
+        dmm = (2400 + 600 * np.sin(xx * sx / 230.0) + 300 * np.cos(yy * sy / 170.0))
+        for _ in range(8):  # furniture boxes at nearer depth
+            x0, y0 = int(rng.integers(0, sw - 40)), int(rng.integers(0, sh - 40))
+            bw_, bh_ = int(rng.integers(30, sw // 3)), int(rng.integers(30, sh // 3))
+            dmm[y0:y0 + bh_, x0:x0 + bw_] = 1300 + 150 * np.sin(
+                xx[y0:y0 + bh_, x0:x0 + bw_] * sx / 60.0)
+        # a known-depth slab where the object points will sit
+        dmm[int(380 / sy):int(580 / sy), int(500 / sx):int(800 / sx)] = 2000.0
+        dmm = dmm + rng.integers(-2, 3, dmm.shape)
+        dmm[rng.random(dmm.shape) < 0.01] = 0  # invalid speckle
+        depth_sensor = np.clip(dmm, 0, 65535).astype(np.float32)
+        depth_full = cv2.resize(depth_sensor, (w2d, h2d)) / 1000.0
+        # points sampled ON the surface (within the 0.08 m visibility band)
+        u = rng.integers(0, w2d, n_points)
+        v = rng.integers(0, h2d, n_points)
+        z = depth_full[v, u] + rng.uniform(-0.03, 0.03, n_points).astype(np.float32)
+        u[:2000] = rng.integers(520, 780, 2000)
+        v[:2000] = rng.integers(400, 560, 2000)
+        z[:2000] = 2.0 + rng.uniform(-0.03, 0.03, 2000).astype(np.float32)
+        z = np.maximum(z, 0.2)
+        pts = np.stack([(u - intr[0, 2]) / intr[0, 0] * z,
+                        (v - intr[1, 2]) / intr[1, 1] * z, z], 1).astype(np.float32)
+    else:
+        pts = rng.uniform([-2, -1.5, 1.0], [2, 1.5, 4.0], (n_points, 3)).astype(np.float32)
+        obj = rng.uniform([-0.4, -0.4, 2.0], [0.4, 0.4, 2.05], (2000, 3)).astype(np.float32)
+        pts[:2000] = obj
     sem = np.zeros(n_points, np.int32)
     inst = np.full(n_points, -100, np.int32)
     sem[:2000] = scannet200.raw_semantic_id("clothes")
@@ -46,7 +95,6 @@ def build_fullscale_scene(root: str, n_points: int, n_frames: int, rng) -> str:
     d2 = os.path.join(root, "Scannet200_2D", scene_id)
     for sub in ("color", "depth", "pose", "intrinsic"):
         os.makedirs(os.path.join(d2, sub), exist_ok=True)
-    intr = np.array([[1170.0, 0, w2d / 2], [0, 1170.0, h2d / 2], [0, 0, 1.0]])
     intr4 = np.eye(4)
     intr4[:3, :3] = intr
     np.savetxt(os.path.join(d2, "intrinsic", "intrinsic_color.txt"), intr4)
@@ -59,10 +107,13 @@ def build_fullscale_scene(root: str, n_points: int, n_frames: int, rng) -> str:
     uvw = intr @ cam.T
     uv = np.round(uvw[:2] / cam[:, 2]).astype(np.int64)
     ok = (cam[:, 2] > 0.1) & (uv[0] >= 0) & (uv[0] < w2d) & (uv[1] >= 0) & (uv[1] < h2d)
-    depth = np.full((h2d, w2d), np.inf)
-    np.minimum.at(depth.ravel(), uv[1, ok] * w2d + uv[0, ok], cam[ok, 2])
-    depth[np.isinf(depth)] = 0
-    depth_native = cv2.resize(depth.astype(np.float32), (640, 480))
+    if flavor == "surface":
+        depth_native = depth_sensor / 1000.0
+    else:
+        depth = np.full((h2d, w2d), np.inf)
+        np.minimum.at(depth.ravel(), uv[1, ok] * w2d + uv[0, ok], cam[ok, 2])
+        depth[np.isinf(depth)] = 0
+        depth_native = cv2.resize(depth.astype(np.float32), (640, 480))
     depth16 = (depth_native * 1000).astype(np.uint16)
     mask2d = np.zeros((h2d, w2d), np.uint8)
     sel = ok[:2000]
