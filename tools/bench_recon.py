@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Reconcile the composed-sweep seg2d rate against the headline composite.
+
+Round-4 finding (VERDICT weak #2): the byte-faithful reference-protocol
+sweep (tools/bench_sweep.py ref mode) measured 0.85x one GPU while the
+headline per-frame composite measured 1.03x. The gap hypothesis was
+"realized hit mix + driver re-entry" — a hypothesis, not an accounting.
+This tool MEASURES the terms, one class on the sweep fixture's scene:
+
+  t_hit        process_scene, every frame hits (the composite's hit arm)
+  t_miss       process_scene, no frame hits (the composite's miss arm)
+  t_comp       the composite PREDICTION for a mixed pass at the realized
+               hit fraction: f*t_hit + (1-f)*t_miss
+  t_mixed      ONE process_scene pass at a calibrated mixed threshold
+               (what the sweep actually measures per class)
+               -> mixed-pass penalty = t_mixed - t_comp
+  t_driver     s2d.run around the same pass (fresh checkpoints)
+               -> driver re-entry = t_driver - t_mixed
+               (scene listing, per-scene checkpoint, RLE encode, .pth save)
+
+Every pass is best-of ``--passes`` (transient co-tenant rule, CLAUDE.md).
+Prints one JSON line with all terms so ARCHITECTURE.md can cite it.
+
+    python tools/bench_recon.py [--frames 96] [--passes 3] [--hit-frac 0.25]
+"""
+
+import argparse
+import importlib.util
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def _load(modname, relpath):
+    spec = importlib.util.spec_from_file_location(
+        modname, os.path.join(REPO, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def best_of(fn, passes):
+    times = []
+    for _ in range(passes):
+        t0 = time.time()
+        out = fn()
+        times.append(time.time() - t0)
+    return min(times), out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=96)
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--hit-frac", type=float, default=0.25)
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+
+    import cv2
+    import jax.numpy as jnp
+
+    bench = _load("bff_bench", "bench.py")
+    sweep = _load("bff_bench_sweep", os.path.join("tools", "bench_sweep.py"))
+
+    import tempfile
+
+    from beyondff_tpu.config import Config
+    from beyondff_tpu.pipeline import segmentation_2d as s2d
+    from beyondff_tpu.pipeline.segmentation_2d import Segmentor2D
+    from beyondff_tpu.utils import io as bio
+
+    # the sweep fixture's frame content (contrast-ramp) and config
+    root = tempfile.mkdtemp(prefix="bffrecon_")
+    w2d, h2d = (64, 48) if args.small else (1296, 968)
+    color_dir = os.path.join(root, "scenes", "scene0000_00", "color")
+    os.makedirs(color_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(args.frames):
+        amp = 0.35 + 0.65 * i / max(args.frames - 1, 1)
+        img = (rng.integers(0, 255, (h2d, w2d, 3)) * amp).astype(np.uint8)
+        cv2.imwrite(os.path.join(color_dir, f"{i}.jpg"), img)
+
+    cfg = Config.from_dict({
+        "paths": {"scene_2d_dir": os.path.join(root, "scenes"),
+                  "mask_2d_dir": os.path.join(root, "mask_2d"),
+                  "checkpoint_dir": os.path.join(root, "ckpt")},
+        "frames": {"width_2d": w2d, "height_2d": h2d, "downsample_ratio": 1},
+        "detector": {"box_threshold": 1e9, "must_match_query": False,
+                     "similarity_threshold": -10.0, "max_detections": 4,
+                     "dtype": "float32" if args.small else "bfloat16",
+                     "frame_batch": 4},
+    })
+    models = bench.build_models(args.small,
+                                jnp.float32 if args.small else jnp.bfloat16)
+    seg = Segmentor2D(cfg, detector=models["gdino"], sam=models["sam"],
+                      clip_model=models["clip"],
+                      clip_tokenizer=models["clip_tok"])
+
+    paths = [os.path.join(color_dir, f"{i}.jpg") for i in range(args.frames)]
+    t0 = time.time()
+    thr_mixed = sweep.calibrate_thresholds(
+        seg, ["clothes"], paths, args.hit_frac, 4)["clothes"]
+    thr_hit = sweep.calibrate_thresholds(seg, ["clothes"], paths, 1.0, 4)["clothes"]
+    log(f"calibration: mixed thr {thr_mixed:.4f}, hit thr {thr_hit:.4f} "
+        f"({time.time() - t0:.1f}s)")
+
+    def pass_at(threshold):
+        seg.cfg = cfg.override(**{"detector.box_threshold": threshold})
+        return seg.process_scene("scene0000_00", "clothes")
+
+    # warmups compile all three regimes' program shapes
+    t0 = time.time()
+    pass_at(thr_hit)
+    pass_at(2.0)
+    pass_at(thr_mixed)
+    log(f"warmup (3 regimes incl compiles): {time.time() - t0:.1f}s")
+
+    t_hit, recs = best_of(lambda: pass_at(thr_hit), args.passes)
+    hit_hit = len(recs)
+    t_miss, _ = best_of(lambda: pass_at(2.0), args.passes)
+    t_mixed, recs = best_of(lambda: pass_at(thr_mixed), args.passes)
+    realized = len(recs) / args.frames
+    n_masks = sum(len(r["confidences"]) for r in recs)
+
+    def driver():
+        seg.cfg = cfg.override(**{"detector.box_threshold": thr_mixed})
+        shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
+        return s2d.run(seg.cfg, "clothes", resume=False, segmentor=seg)
+
+    t_driver, _ = best_of(driver, args.passes)
+
+    t_comp = realized * t_hit + (1 - realized) * t_miss
+    out = {
+        "frames": args.frames,
+        "t_hit_s": round(t_hit, 2),
+        "t_miss_s": round(t_miss, 2),
+        "hit_frames_in_hit_pass": hit_hit,
+        "realized_hit_frac": round(realized, 3),
+        "masks_mixed": n_masks,
+        "t_composite_pred_s": round(t_comp, 2),
+        "t_mixed_s": round(t_mixed, 2),
+        "mixed_penalty_s": round(t_mixed - t_comp, 2),
+        "t_driver_s": round(t_driver, 2),
+        "driver_overhead_s": round(t_driver - t_mixed, 2),
+        "fps_composite": round(args.frames / t_comp, 2),
+        "fps_mixed": round(args.frames / t_mixed, 2),
+        "fps_driver": round(args.frames / t_driver, 2),
+    }
+    log(f"hit {t_hit:.2f}s, miss {t_miss:.2f}s -> composite pred "
+        f"{t_comp:.2f}s at f={realized:.3f}; mixed {t_mixed:.2f}s "
+        f"(penalty {t_mixed - t_comp:+.2f}s); driver {t_driver:.2f}s "
+        f"(re-entry {t_driver - t_mixed:+.2f}s)")
+    print(json.dumps({"metric": "seg2d_recon", "value": out["fps_driver"],
+                      "unit": "frames/s through the full driver",
+                      "extra": out}), flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
