@@ -108,8 +108,8 @@ def merge_host_results(cfg: Config, hosts: int,
     for i in range(hosts):
         part = SweepCheckpoint(checkpoint_path + host_suffix(hosts, i))
         for class_name, stages in part._state.items():
-            for stage, ok in stages.items():
-                merged.mark(class_name, stage, ok)
+            merged._state.setdefault(class_name, {}).update(stages)
+    merged.flush()
 
 
 class SweepRunner:

@@ -50,5 +50,10 @@ class SweepCheckpoint:
 
     def mark(self, class_name: str, stage: str, ok: bool = True) -> None:
         self._state.setdefault(class_name, {})[stage] = ok
+        self.flush()
+
+    def flush(self) -> None:
+        """Write the current state once (bulk updates mutate ``_state`` then
+        flush, avoiding one full-file rewrite per mark)."""
         with open(self.path, "w") as f:
             yaml.safe_dump(self._state, f)

@@ -247,15 +247,49 @@ def analytic_table(chips=(1, 2, 4, 8)):
         f"{upload_bw / 1e6:.0f} MB/s (pipelined, best-of-2) -> "
         f"{host_feed_s:.2f} s/scene ({depth_bytes / 1e6:.0f} MB depth)")
 
+    # depth-pack transport (core/depth_pack.py): measured pack rate + wire
+    # ratio on sensor-like content (the content class real depth lives in;
+    # the pack spills to raw on noise). The packed feed replaces the raw
+    # upload term: n_frames * (t_png + t_pack) + packed_bytes / upload_bw.
+    from beyondff_tpu.core import depth_pack as _dp
+
+    rng2 = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
+    dmm = 2400 + 600 * np.sin(xx / 115.0) + 300 * np.cos(yy / 85.0)
+    dmm[120:360, 200:480] = 1300 + 150 * np.sin(xx[120:360, 200:480] / 30.0)
+    dmm = dmm + rng2.integers(-2, 3, dmm.shape)
+    dmm[rng2.random(dmm.shape) < 0.01] = 0
+    sensor16 = np.clip(dmm, 0, 65535).astype(np.uint16)
+    t0 = time.time()
+    for _ in range(20):
+        pk = _dp.pack(sensor16)
+    t_pack = (time.time() - t0) / 20
+    pack_ratio = pk.nbytes / sensor16.nbytes if pk is not None else 1.0
+    feed_pack_s = (n_frames * (t_png + t_pack)
+                   + depth_bytes * pack_ratio / upload_bw)
+    log(f"depth-pack: {t_pack * 1e3:.1f} ms/frame host pack, wire ratio "
+        f"{pack_ratio:.2f} -> packed feed {feed_pack_s:.2f} s/scene "
+        f"(sensor-like content; raw feed {host_feed_s:.2f} s)")
+
+    # multi-host partition/merge overhead (orchestration.sweep): measured
+    # on a 120-class 2-host table + checkpoint merge — the only cross-host
+    # work the class-sharded sweep does
+    t_merge = _measure_host_merge()
+    log(f"multi-host merge overhead: {t_merge * 1e3:.1f} ms per merge "
+        f"(120 classes, 2 hosts; amortized over the whole sweep)")
+
     device_per_scene = det_chunks * t_det + view_chunks * t_view
     psum_ms = 2 * n_points * 4 / 20e9 * 1e3  # ICI ~20 GB/s lower bound
     rows = []
     for n in chips:
         dev = device_per_scene / n
         # single-host: the feed does not divide; multi-host (one host per
-        # chip group) divides it — report the single-host bound
+        # chip group, run_sweep.py --hosts) divides it — both bounds shown,
+        # each also with the depth-pack feed
         per_scene = max(dev, host_feed_s) + t_aggf
         per_scene_mh = max(dev, host_feed_s / n) + t_aggf
+        per_scene_pack = max(dev, feed_pack_s) + t_aggf
+        per_scene_mh_pack = max(dev, feed_pack_s / n) + t_aggf
         rows.append({
             "chips": n,
             "device_s": round(dev, 3),
@@ -263,10 +297,13 @@ def analytic_table(chips=(1, 2, 4, 8)):
             "per_scene_multi_host_s": round(per_scene_mh, 3),
             "scenes_per_min_single_host": round(60 / per_scene, 1),
             "scenes_per_min_multi_host": round(60 / per_scene_mh, 1),
+            "scenes_per_min_single_host_depth_pack": round(60 / per_scene_pack, 1),
+            "scenes_per_min_multi_host_depth_pack": round(60 / per_scene_mh_pack, 1),
         })
         log(f"{n} chip(s): device {dev:.2f}s, single-host {per_scene:.2f}s/scene "
-            f"({60 / per_scene:.1f}/min), multi-host {per_scene_mh:.2f}s/scene "
-            f"({60 / per_scene_mh:.1f}/min)")
+            f"({60 / per_scene:.1f}/min; {60 / per_scene_pack:.1f}/min packed), "
+            f"multi-host {per_scene_mh:.2f}s/scene "
+            f"({60 / per_scene_mh:.1f}/min; {60 / per_scene_mh_pack:.1f}/min packed)")
 
     out = {
         "artifact": "projection_analytic_8chip",
@@ -275,20 +312,58 @@ def analytic_table(chips=(1, 2, 4, 8)):
             "agg_filter_s": round(t_aggf, 4),
             "png_decode_s_per_frame": round(t_png, 4),
             "upload_bw_mb_s": round(upload_bw / 1e6, 1),
+            "depth_pack_s_per_frame": round(t_pack, 4),
+            "depth_pack_wire_ratio_sensor_content": round(pack_ratio, 3),
+            "host_merge_s_120_classes": round(t_merge, 4),
             "det_chunks": det_chunks, "view_chunks": view_chunks,
             "psum_pair_ms_at_20GBs_ici": round(psum_ms, 3),
         },
         "assumptions": [
             "frames independent: det/view chunks divide across chips (HLO artifact shows the detection program is collective-free and the lift's only collectives are the count psums)",
             "aggregate+filter single-chip (ms-scale, one (I,I) IoU per scene)",
-            "single-host rows: one host feeds all chips at the measured pipelined upload rate; multi-host rows: feed divides with hosts",
+            "single-host rows: one host feeds all chips at the measured pipelined upload rate; multi-host rows: feed divides with hosts — IMPLEMENTED as the class-sharded sweep (run_sweep.py --hosts/--host + --merge-hosts, byte-identical merged table; tests/test_sweep.py), whose only cross-host work is the measured ms-scale merge",
+            "depth_pack rows: the measured lossless wire ratio on sensor-like content (core/depth_pack.py; spills to raw on noise content) and the measured host pack cost per frame",
             "multi-class sweeps amortize the feed further: run_classes uploads each scene's depth once for the whole class list (measured 2.1x/class at 4 classes)",
-            f"reference baseline 1.1-4.8 s/scene on RTX A5000 (BASELINE.md)",
+            "reference baseline 1.1-4.8 s/scene on RTX A5000 (BASELINE.md)",
         ],
         "table": rows,
     }
     print(json.dumps(out))
     return out
+
+
+def _measure_host_merge() -> float:
+    """Time merge_host_results on a synthetic 120-class 2-host layout."""
+    import tempfile
+
+    from beyondff_tpu.config import Config
+    from beyondff_tpu.orchestration import merge_host_results
+    from beyondff_tpu.pipeline.evaluate import update_results_table
+    from beyondff_tpu.data import scannet200
+
+    classes = (list(scannet200.HEAD_CATS_SCANNET_200[:40])
+               + list(scannet200.COMMON_CATS_SCANNET_200[:40])
+               + list(scannet200.TAIL_CATS_SCANNET_200[:40]))
+    avgs = {"classes": {c: {k: 0.5 for k in
+                            ("ap", "ap50%", "ap25%", "rc", "rc50%", "rc25%")}
+                        for c in classes}}
+    with tempfile.TemporaryDirectory() as td:
+        cfg = Config.from_dict({"paths": {"results_dir": td}})
+        for i in range(2):
+            path = os.path.join(td, f"overall_results.host{i}of2.txt")
+            for c in classes[i::2]:
+                update_results_table(path, c, avgs)
+        ck = os.path.join(td, "proc.txt")
+        import yaml
+
+        for i in range(2):
+            with open(ck + f".host{i}of2", "w") as f:
+                yaml.safe_dump({c: {"segmentation": True, "projection": True,
+                                    "refinement": True, "evaluation": True}
+                                for c in classes[i::2]}, f)
+        t0 = time.time()
+        merge_host_results(cfg, 2, checkpoint_path=ck)
+        return time.time() - t0
 
 
 def main():
