@@ -202,16 +202,42 @@ def main():
     # hit-mix calibration relies on per-frame score variation)
     w2d, h2d = (64, 48) if args.small else (1296, 968)
     color_dir = os.path.join(cfg.paths.scene_2d_dir, "scene0000_00", "color")
+    content = os.environ.get("BFF_SWEEP_CONTENT", "noise")
+    yy, xx = np.mgrid[0:h2d, 0:w2d].astype(np.float32)
     for i in range(args.frames):
         # deterministic contrast ramp: random-init detector scores over pure
         # noise frames cluster within ~1e-5 of each other, so threshold
         # calibration degenerates into tie-breaking; scaling per-frame
         # amplitude spreads the score distribution for real
         amp = 0.35 + 0.65 * i / max(args.frames - 1, 1)
-        img = (rng.integers(0, 255, (h2d, w2d, 3)) * amp).astype(np.uint8)
-        cv2.imwrite(os.path.join(color_dir, f"{i}.jpg"), img)
+        if content == "structured":
+            # natural-image-like sparsity (smooth fields + rectangles at
+            # JPEG q90 — bench.make_scene's structured class): the content
+            # real ScanNet frames belong to, and the regime the JXT
+            # coefficient transport engages in (its spill guard correctly
+            # rejects the noise flavor). The amp ramp keeps per-frame score
+            # spread for calibration.
+            base = (120 + 60 * np.sin(xx / 40 + 0.37 * i)
+                    + 40 * np.cos(yy / 30 + 0.11 * i))
+            img = np.stack([base, base * 0.9 + 10, base * 0.8 + 20], -1)
+            for _ in range(8):
+                x0 = int(rng.integers(0, max(w2d - 20, 1)))
+                y0 = int(rng.integers(0, max(h2d - 20, 1)))
+                dw = int(rng.integers(10, w2d // 2))
+                dh = int(rng.integers(10, h2d // 2))
+                img[y0:y0 + dh, x0:x0 + dw] = (
+                    0.7 * img[y0:y0 + dh, x0:x0 + dw]
+                    + 0.3 * rng.integers(30, 220, 3))
+            img = np.clip(img * amp + rng.normal(0, 2, img.shape),
+                          0, 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(color_dir, f"{i}.jpg"), img,
+                        [cv2.IMWRITE_JPEG_QUALITY, 90])
+        else:
+            img = (rng.integers(0, 255, (h2d, w2d, 3)) * amp).astype(np.uint8)
+            cv2.imwrite(os.path.join(color_dir, f"{i}.jpg"), img)
     log(f"fixture built in {time.time() - t0:.1f}s ({args.points} pts, "
-        f"{args.frames} frames at {w2d}x{h2d}, {len(classes)} classes)")
+        f"{args.frames} frames at {w2d}x{h2d}, {len(classes)} classes, "
+        f"{content} frames)")
 
     cfg = cfg.override(**{
         "frames.width_2d": w2d, "frames.height_2d": h2d,
