@@ -125,6 +125,23 @@ def _pack_arrays(flat: np.ndarray):
     return _pack_arrays_numpy(flat)
 
 
+def estimate_wire_ratio(flat: np.ndarray, stride: int = 16) -> float:
+    """Estimated wire/raw ratio from every ``stride``-th block's class costs
+    (no stream build) — a ~0.3 ms pre-check that lets noise frames skip the
+    ~5-7 ms full pack attempt on the 1-core host."""
+    nb = flat.size // BLOCK
+    px = flat.reshape(nb, BLOCK)[::stride].astype(np.int64)
+    d = np.diff(px, axis=1, prepend=px[:, :1])
+    pred = np.clip(np.median(d[:, 1:], axis=1), -127, 127).astype(np.int64)
+    r = d - pred[:, None]
+    z = np.where(r >= 0, 2 * r, -2 * r - 1)
+    z[:, 0] = 0
+    costs = np.stack([_KBYTES[c] + 8 * (z >= _LIMS[c]).sum(1)
+                      for c in range(len(_KS))])
+    per_block = costs.min(axis=0).mean() + 4  # + header bytes/block
+    return float(per_block * nb / (2 * flat.size))
+
+
 def pack(depth: np.ndarray, max_bytes: Optional[int] = None) -> Optional[DepthPacked]:
     """Pack one uint16 depth map; None when the wire would not beat the raw
     2 B/px upload (spill guard — noise-like content)."""
@@ -136,6 +153,8 @@ def pack(depth: np.ndarray, max_bytes: Optional[int] = None) -> Optional[DepthPa
     pad = (-flat.size) % BLOCK
     if pad:
         flat = np.concatenate([flat, np.full(pad, flat[-1], np.uint16)])
+    if estimate_wire_ratio(flat) * 2 * flat.size >= 0.98 * max_bytes:
+        return None  # clearly incompressible; skip the full scan
     classes, preds, bases, stream, esc_pos, esc_corr = _pack_arrays(flat)
     nb = classes.size
     if 4 * nb + stream.size + 8 * esc_pos.size >= max_bytes:

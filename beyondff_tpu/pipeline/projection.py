@@ -453,12 +453,15 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
             os.replace(tmp, path)  # atomic: concurrent readers see old or new
         return raw
 
-    # Depth-pack transport (BFF_DEPTH_PACK=1, opt-in pending on-chip A/B;
-    # core/depth_pack.py): raw uint16 depth crosses the link as zigzag
-    # block-deltas + escapes (~0.3-1.1 B/px vs 2 B/px, bit-LOSSLESS — the
-    # device reconstructs the exact uint16 frame) and only falls back per
-    # frame when the spill guard finds noise-like content
-    use_dpack = os.environ.get("BFF_DEPTH_PACK", "0") == "1"
+    # Depth-pack transport (BFF_DEPTH_PACK=0 disables; core/depth_pack.py):
+    # raw uint16 depth crosses the link as zigzag block-deltas + escapes
+    # (~0.3-1.1 B/px vs 2 B/px, bit-LOSSLESS — the device reconstructs the
+    # exact uint16 frame) and falls back per frame when the spill pre-check
+    # finds noise-like content (~0.6 ms/frame, vs ~5 ms for a full pack).
+    # Default ON: measured 9.87 -> 6.50 s/scene e2e (1.52x, every paired
+    # round won) on the sensor-like surface fixture at 300 frames; outputs
+    # pinned bit-identical either way (tests/test_depth_pack.py).
+    use_dpack = os.environ.get("BFF_DEPTH_PACK", "1") == "1"
 
     def load_frame(fid: str) -> Dict:
         f: Dict = {"frame_id": fid, "pose": reader.pose(fid)}

@@ -214,15 +214,41 @@ def main():
     refinement.run(cfg, "clothes")
     print(f"# warmup (incl compiles): {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
-    times = []
-    for _ in range(args.repeat):
-        t0 = time.time()
-        projection.run(cfg, "clothes", resume=False)
-        refinement.run(cfg, "clothes")
-        times.append(time.time() - t0)
-    per_scene = float(np.median(times))
-    print(f"# per-scene (projection+refinement): {per_scene:.2f}s", file=sys.stderr)
     import json
+
+    # Interleaved knob A/B (BFF_PROJ_KNOB=BFF_DEPTH_PACK BFF_PROJ_VARIANTS=1,0):
+    # each repeat round runs every variant once, verdict compares best-of —
+    # the shared tunnel's bandwidth drifts minute-to-minute (CLAUDE.md), so
+    # sequential single-variant processes confound knob and weather.
+    knob = os.environ.get("BFF_PROJ_KNOB")
+    variants = (os.environ.get("BFF_PROJ_VARIANTS", "1,0").split(",")
+                if knob else [None])
+    if knob:
+        for v in variants:  # compile both variants' programs before timing
+            os.environ[knob] = v
+            t0 = time.time()
+            projection.run(cfg, "clothes", resume=False)
+            print(f"# warmup [{knob}={v}]: {time.time() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+    times = {v: [] for v in variants}
+    for _ in range(args.repeat):
+        for v in variants:
+            if knob:
+                os.environ[knob] = v
+            t0 = time.time()
+            projection.run(cfg, "clothes", resume=False)
+            refinement.run(cfg, "clothes")
+            times[v].append(time.time() - t0)
+            tag = f" [{knob}={v}]" if knob else ""
+            print(f"#   pass{tag}: {times[v][-1]:.2f}s", file=sys.stderr,
+                  flush=True)
+    if knob:
+        os.environ.pop(knob, None)
+        for v in variants:
+            print(f"# {knob}={v}: best {min(times[v]):.2f}s/scene "
+                  f"(all={[round(x, 2) for x in times[v]]})", file=sys.stderr)
+    per_scene = min(times[variants[-1]]) if knob else float(np.median(times[None]))
+    print(f"# per-scene (projection+refinement): {per_scene:.2f}s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "proj_refine_scenes_per_min",
@@ -230,6 +256,9 @@ def main():
         "unit": "scenes/min",
         # reference: ~2-5 s/scene projection + <1 s refinement => ~12-20/min
         "vs_baseline": round((60.0 / per_scene) / 15.0, 3),
+        **({"ab": {v: {"best_s": round(min(times[v]), 2),
+                       "all_s": [round(x, 2) for x in times[v]]}
+                   for v in variants}} if knob else {}),
     }))
 
     if args.multi > 1:
