@@ -604,12 +604,15 @@ class Segmentor2D:
         # entirely. Requires device crops (host pixels never materialize on
         # the jxt path); frames the spill guard rejects (noise-like content,
         # progressive files, mismatched dims) fall back per frame to the
-        # YCrCb path. "auto" follows device crops — the link-bound regimes
-        # (fast-variant two-tier, fused replays); default opt-in pending
-        # on-chip paired measurement.
-        jxt_mode = os.environ.get("BFF_SEG2D_JXT", "0")
+        # YCrCb path. Default AUTO = YOLO-World mode only, where the paired
+        # on-chip A/B measured +31% hit / neutral miss (structured q90
+        # frames, ARCHITECTURE.md r5 log); GDINO's fused replays measured
+        # neutral-to-negative (41.1 vs 37.1 s, one clean pass under
+        # improving link weather), so auto keeps YCrCb there.
+        jxt_mode = os.environ.get("BFF_SEG2D_JXT", "auto")
         use_jxt = (device_frames and device_crops
-                   and jxt_mode in ("1", "auto"))
+                   and (jxt_mode == "1"
+                        or (jxt_mode == "auto" and d.kind == "yolo_world")))
         if jxt_mode == "1" and not use_jxt and not getattr(
                 Segmentor2D, "_jxt_forced_warned", False):
             # a forced A/B that silently measures the unchanged YCrCb path
