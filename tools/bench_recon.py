@@ -136,7 +136,11 @@ def main():
     def driver():
         seg.cfg = cfg.override(**{"detector.box_threshold": thr_mixed})
         shutil.rmtree(os.path.join(root, "ckpt"), ignore_errors=True)
-        return s2d.run(seg.cfg, "clothes", resume=False, segmentor=seg)
+        # explicit scene list: the driver's default discovery reads the
+        # stage-1 results dir (reference behavior), which this fixture
+        # doesn't populate
+        return s2d.run(seg.cfg, "clothes", scenes=["scene0000_00"],
+                       resume=False, segmentor=seg)
 
     t_driver, _ = best_of(driver, args.passes)
 
