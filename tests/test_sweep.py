@@ -243,6 +243,50 @@ def test_multi_host_sweep_merges_bit_identical(tmp_path):
             assert ck.stage_done(c, stage), (c, stage)
 
 
+def test_multi_host_cli_two_processes(tmp_path):
+    """The literal multi-host deployment shape: TWO run_sweep.py PROCESSES
+    sharing a filesystem, each with --hosts 2 --host i, then --merge-hosts —
+    the merged table must carry every class's row."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import make_synthetic_scene
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "cliroot")
+    cfg_path = make_synthetic_scene.generate(root, query="towel", seed=2)
+    classes = ["towel", "pillow"]
+    base = Config.from_yaml(cfg_path)
+    shutil.copytree(os.path.join(base.paths.mask_2d_dir, "towel"),
+                    os.path.join(base.paths.mask_2d_dir, "pillow"))
+
+    env = dict(os.environ, BFF_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    ckpt = str(tmp_path / "proc.txt")
+
+    def cli(*extra):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "run_sweep.py"),
+             "--config", cfg_path, "--classes", ",".join(classes),
+             "--checkpoint", ckpt, "--find-parameters", *extra],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+        assert proc.returncode == 0, proc.stderr[-3000:] + proc.stdout[-2000:]
+        return proc.stdout
+
+    for host in range(2):
+        out = cli("--hosts", "2", "--host", str(host))
+        assert "1/1 classes complete" in out, out
+    cli("--merge-hosts", "2")
+    table = open(os.path.join(base.paths.results_dir,
+                              "overall_results.txt")).read()
+    for c in classes:
+        assert f"{c}," in table
+
+
 def test_amortized_segmentation_phase(tmp_path, monkeypatch):
     """run(amortize_segmentation=True) runs the 2D stage for all classes
     scene-outer up front (segmentation_2d.run_classes) and the per-class
