@@ -180,6 +180,37 @@ def pack(depth: np.ndarray, max_bytes: Optional[int] = None) -> Optional[DepthPa
     return DepthPacked(hw=(h, w), wire=wire, scap=scap, ecap=ecap)
 
 
+# content-addressed pack cache: the reference sweep protocol re-reads the
+# SAME depth frames once per (class, scene) (run_evl.py loops classes
+# outer), so ref-mode projection would re-pay the ~5 ms/frame pack per
+# class; keying on the frame bytes makes repeats ~0.8 ms (hash + lookup)
+# while keeping the per-class re-UPLOAD that the protocol implies. Spills
+# cache as None (skips the repeated pre-check too).
+_PACK_CACHE: "OrderedDict[bytes, Optional[DepthPacked]]" = None  # type: ignore
+_PACK_CACHE_CAP = 512  # ~50 MB of wires at typical sensor frames
+
+
+def pack_cached(depth: np.ndarray,
+                max_bytes: Optional[int] = None) -> Optional[DepthPacked]:
+    """:func:`pack` behind a content-addressed LRU (blake2b of the bytes)."""
+    global _PACK_CACHE
+    import hashlib
+    from collections import OrderedDict
+
+    if _PACK_CACHE is None:
+        _PACK_CACHE = OrderedDict()
+    key = (hashlib.blake2b(depth.tobytes(), digest_size=16).digest()
+           + str(depth.shape).encode() + str(max_bytes).encode())
+    if key in _PACK_CACHE:
+        _PACK_CACHE.move_to_end(key)
+        return _PACK_CACHE[key]
+    out = pack(depth, max_bytes=max_bytes)
+    _PACK_CACHE[key] = out
+    if len(_PACK_CACHE) > _PACK_CACHE_CAP:
+        _PACK_CACHE.popitem(last=False)
+    return out
+
+
 # --------------------------------------------------------------- device side
 def _decode_core(wire, hw: Tuple[int, int], scap: int, ecap: int):
     import jax.numpy as jnp

@@ -477,7 +477,7 @@ def project_scene(cfg: Config, class_name: str, scene_id: str, ext: Optional[str
                     if use_dpack:
                         from beyondff_tpu.core import depth_pack as _dpack
 
-                        pk = _dpack.pack(raw)
+                        pk = _dpack.pack_cached(raw)
                         dev = (_dpack.upload_frame(pk) if pk is not None
                                else jnp.asarray(raw))
                     else:
