@@ -159,7 +159,11 @@ def pack(depth: np.ndarray, max_bytes: Optional[int] = None) -> Optional[DepthPa
     nb = classes.size
     if 4 * nb + stream.size + 8 * esc_pos.size >= max_bytes:
         return None
-    scap = _bucket(max(int(stream.size), 1), 4096)
+    # scap stays a multiple of 4: every class payload is a 4-byte multiple,
+    # so block offsets are word-aligned and the device decode can read the
+    # stream as uint32 words (one 32-word gather per block instead of
+    # hundreds of byte gathers)
+    scap = -(-_bucket(max(int(stream.size), 1), 4096) // 4) * 4
     ecap = _bucket(max(int(esc_pos.size), 1), 256)
     if 4 * nb + scap + 8 * ecap >= max_bytes:
         return None
@@ -234,15 +238,25 @@ def _decode_core(wire, hw: Tuple[int, int], scap: int, ecap: int):
     nbytes = jnp.asarray(_KBYTES, jnp.int32)[cls]
     offs = jnp.cumsum(nbytes) - nbytes  # exclusive prefix per block
     j = jnp.arange(BLOCK, dtype=jnp.int32)
-    # class-conditional hypothesis decodes (unselected gathers clamp; their
-    # values are masked out by the select)
-    b2 = stream[jnp.clip(offs[:, None] + j // 4, 0, scap - 1)]
-    z2 = (b2 >> (2 * (j % 4))) & 3
-    b4 = stream[jnp.clip(offs[:, None] + j // 2, 0, scap - 1)]
+    # ONE word-granular gather per block: every class payload is a 4-byte
+    # multiple, so block offsets are word-aligned; fetching the maximal
+    # 32-word (128 B, the k=16 payload) window per block and slicing the
+    # hypotheses out elementwise replaced five per-byte gathers that
+    # measured 13.8 ms/frame device time (8x fewer gathered elements, and
+    # the lane dim is contiguous)
+    words = (stream[0::4] + (stream[1::4] << 8)
+             + (stream[2::4] << 16) + (stream[3::4] << 24))
+    wv = words[jnp.clip(offs[:, None] // 4 + jnp.arange(32, dtype=jnp.int32),
+                        0, scap // 4 - 1)]  # (nb, 32)
+
+    def byte(i):  # static per-block byte index array -> (nb, len(i)) values
+        return (wv[:, i // 4] >> (8 * (i % 4))) & 255
+
+    z2 = (byte(j // 4) >> (2 * (j % 4))) & 3
+    b4 = byte(j // 2)
     z4 = jnp.where(j % 2 == 0, b4 & 15, b4 >> 4)
-    z8 = stream[jnp.clip(offs[:, None] + j, 0, scap - 1)]
-    z16 = (stream[jnp.clip(offs[:, None] + 2 * j, 0, scap - 1)]
-           + 256 * stream[jnp.clip(offs[:, None] + 2 * j + 1, 0, scap - 1)])
+    z8 = byte(j)
+    z16 = byte(2 * j) + 256 * byte(2 * j + 1)
     c = cls[:, None]
     z = jnp.where(c == 0, 0,
                   jnp.where(c == 1, z2,
